@@ -1,0 +1,175 @@
+"""The demodulation chain: explicit state + one jitted chunk step.
+
+This is the TPU reformulation of the reference's chunked ``while(!feof)``
+driver loop (``POESTIPdemod/main.c:373-492``): every C static local across
+the DSP library becomes a field of `ChainState` (a small serializable pytree
+— simultaneously the streaming-session state, the checkpoint format, and the
+shard-boundary carry), and one call to `chunk_step` advances a chunk through
+
+    PLL -> [squelch] -> FIR(1:N interp) -> AGC -> Gardner -> Manchester
+
+entirely inside jit, returning fixed-capacity bit output.  The sync-word
+framer runs host-side on the (tiny) bit stream in exact mode; the block-
+parallel fast path uses the data-parallel framer instead (parallel/blocked.py).
+
+Chunk-boundary semantics replicate the reference exactly, including its
+buffer-image quirks (see ops/clock.py docstring); with `quirks=False` the
+chain is chunk-size invariant by construction (fixing ``changelog.txt:9,107``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from project_desert_tortoise_tpu.ops import agc as agc_ops
+from project_desert_tortoise_tpu.ops import clock as clock_ops
+from project_desert_tortoise_tpu.ops import fir as fir_ops
+from project_desert_tortoise_tpu.ops import manchester as man_ops
+from project_desert_tortoise_tpu.ops import pll as pll_ops
+
+
+class ChainParams(NamedTuple):
+    """Static, hashable per-stream parameters (derived from ModeConfig + Fs)."""
+    pll: pll_ops.PLLParams
+    taps: tuple                 # FIR taps as a tuple (hashable static)
+    interp: int
+    agc_attack: float
+    agc_decay: float
+    squelch_threshold: Optional[float]
+    squelch_position: Optional[str]   # "after_pll" | "after_agc"
+    step_size: float
+    gardner_err_limit: float
+    gardner_gain: float
+    resync_threshold: float
+    quirks: bool
+
+
+class ChainState(NamedTuple):
+    pll: pll_ops.PLLState
+    fir_hist: jnp.ndarray
+    agc: agc_ops.AGCState
+    gardner: clock_ops.GardnerState
+    manchester: man_ops.ManchesterState
+    x_img: jnp.ndarray          # persistent interp-domain buffer image
+    t_img: jnp.ndarray
+
+
+def make_params(mode_cfg, fs: float, quirks: bool = True) -> ChainParams:
+    dtype = mode_cfg.np_dtype()
+    interp = mode_cfg.fir.interp_factor(fs)
+    order = mode_cfg.fir.order(fs)
+    taps = fir_ops.make_lpfir(order, mode_cfg.fir.cutoff_hz, fs * interp,
+                              interp, dtype)
+    fs_i = fs * interp
+    return ChainParams(
+        pll=pll_ops.make_params(mode_cfg.pll, fs),
+        taps=tuple(taps.tolist()),
+        interp=interp,
+        agc_attack=mode_cfg.scaled(mode_cfg.agc.attack_rate_rad_s, fs_i),
+        agc_decay=mode_cfg.scaled(mode_cfg.agc.decay_rate_rad_s, fs_i),
+        squelch_threshold=(mode_cfg.squelch.threshold
+                           if mode_cfg.squelch else None),
+        squelch_position=(mode_cfg.squelch.position
+                          if mode_cfg.squelch else None),
+        step_size=clock_ops.gardner_step_size(fs_i, mode_cfg.gardner.baud, dtype),
+        gardner_err_limit=mode_cfg.gardner.error_limit,
+        gardner_gain=mode_cfg.gardner.gain,
+        resync_threshold=mode_cfg.manchester.resync_threshold,
+        quirks=quirks,
+    )
+
+
+def max_symbols(cap_interp: int, step_size: float) -> int:
+    return int(cap_interp / step_size * 1.05) + 8
+
+
+def init_state(params: ChainParams, initial_gain: float, chunk_cap: int,
+               dtype, batch_shape=()) -> ChainState:
+    dt = jnp.dtype(dtype)
+    n_taps = len(params.taps)
+    hist_len = -(-(n_taps - 1) // params.interp)
+    cap_i = chunk_cap * params.interp
+    return ChainState(
+        pll=pll_ops.init_state(params.pll, dt, batch_shape),
+        fir_hist=jnp.zeros(batch_shape + (hist_len,), dt),
+        agc=agc_ops.agc_init(initial_gain, dt, batch_shape),
+        gardner=clock_ops.gardner_init(dt, batch_shape),
+        manchester=man_ops.manchester_init(dt, batch_shape),
+        x_img=jnp.zeros(batch_shape + (cap_i,), dt),
+        t_img=jnp.zeros(batch_shape + (cap_i,), dt),
+    )
+
+
+class ChunkOutput(NamedTuple):
+    bits: jnp.ndarray           # (..., max_syms) uint8
+    bit_times: jnp.ndarray      # (..., max_syms)
+    bit_mask: jnp.ndarray       # (..., max_syms) bool
+    sym_count: jnp.ndarray
+    locksig: jnp.ndarray        # (..., n) lock-detector stream
+    avg_phase: jnp.ndarray      # per-chunk-end quality EWMA
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def chunk_step(params: ChainParams, state: ChainState, iq_re, iq_im,
+               t, t_next):
+    """Advance one chunk.  iq_re/iq_im/t/t_next: (..., n); n = chunk length
+    (static per compilation), t_next[i] = time of input sample i+1."""
+    n = iq_re.shape[-1]
+    interp = params.interp
+    dt = iq_re.dtype
+    cap_i = state.x_img.shape[-1]
+    taps = np.asarray(params.taps, dt)
+
+    pll_state, soft, locksig = pll_ops.pll_scan(params.pll, state.pll,
+                                                (iq_re, iq_im))
+    if params.squelch_position == "after_pll":
+        soft = agc_ops.squelch(soft, locksig, params.squelch_threshold)
+
+    y = fir_ops.fir_interp(soft, taps, interp, state.fir_hist)
+    fir_hist = fir_ops.fir_history_update(soft, state.fir_hist, len(taps),
+                                          interp)
+    t_out = fir_ops.fir_out_times(t_next, interp)
+
+    agc_state, y = agc_ops.agc_scan(state.agc, y, params.agc_attack,
+                                    params.agc_decay)
+    if params.squelch_position == "after_agc":
+        assert interp == 1, "after_agc squelch requires interp == 1"
+        y = agc_ops.squelch(y, locksig, params.squelch_threshold)
+
+    # persistent buffer images (C heap semantics; see ops/clock.py)
+    x_img = jax.lax.dynamic_update_slice_in_dim(state.x_img, y, 0, axis=-1)
+    t_img = jax.lax.dynamic_update_slice_in_dim(state.t_img, t_out, 0, axis=-1)
+
+    n_i = n * interp
+    msyms = max_symbols(cap_i, params.step_size)
+    gardner_state, syms, sym_times, sym_valid, sym_count = clock_ops.gardner_scan(
+        state.gardner, x_img, t_img, n_i, params.step_size,
+        params.gardner_err_limit, params.gardner_gain, msyms)
+
+    man_state, bits, bit_times, bit_mask = man_ops.manchester_scan(
+        state.manchester, syms, sym_times, sym_valid, params.resync_threshold)
+
+    if params.quirks and t_img.ndim == 1:
+        # Gardner/Manchester write their outputs over the head of the shared
+        # time buffer in C; replicate so a shorter final chunk sees the same
+        # stale tail the reference would.
+        pos = jnp.arange(cap_i)
+        symt_pad = jnp.zeros((cap_i,), dt).at[:msyms].set(sym_times)
+        t_img = jnp.where(pos < sym_count, symt_pad, t_img)
+        bt_packed, _, nbits = man_ops.compress_stream(
+            bit_times, bit_times, bit_mask, msyms)
+        bitt_pad = jnp.zeros((cap_i,), dt).at[:msyms].set(bt_packed)
+        t_img = jnp.where(pos < nbits, bitt_pad, t_img)
+
+    new_state = ChainState(pll=pll_state, fir_hist=fir_hist, agc=agc_state,
+                           gardner=gardner_state, manchester=man_state,
+                           x_img=x_img, t_img=t_img)
+    out = ChunkOutput(bits=bits, bit_times=bit_times, bit_mask=bit_mask,
+                      sym_count=sym_count, locksig=locksig,
+                      avg_phase=pll_state.avg_phase)
+    return new_state, out

@@ -1,0 +1,142 @@
+"""Exact chunked demodulator sessions — the reference app drivers, functional.
+
+`DemodSession` is the behavioral twin of one reference application's
+``while(!feof)`` loop (``POESTIPdemod/main.c:373``, ``ARGOSdemod/main.c:250``):
+feed it chunks of IQ samples (any source: wav file, raw file, live stream) and
+it advances the jitted chain, runs the exact host-side framer on the emitted
+bits, and tracks the reference's console telemetry (quality, lock events,
+sym/bit/frame counters).
+
+The session state (`ChainState` + framer + timebase) is a small serializable
+object: checkpoint it, move it across hosts, resume mid-stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from project_desert_tortoise_tpu import chain as chain_lib
+from project_desert_tortoise_tpu.ops import agc as agc_ops
+from project_desert_tortoise_tpu.ops.framer import Frame, StreamFramer
+from project_desert_tortoise_tpu.utils import wav as wav_lib
+
+
+@dataclasses.dataclass
+class DemodResult:
+    frames: List[Frame]
+    total_samples: int
+    total_symbols: int
+    total_bits: int
+    quality_db: float
+    lock_freq_hz: Optional[float]
+    avg_phase: float
+
+    @property
+    def total_frames(self) -> int:
+        return len(self.frames)
+
+
+def quality_db_from_avg_phase(avg_phase: float) -> float:
+    """10*log10((pi/2 - avgPhase)^2) — POESTIPdemod/main.c:468."""
+    d = abs(np.pi / 2.0 - avg_phase)
+    return float(10.0 * np.log10(d * d)) if d > 0 else -np.inf
+
+
+class DemodSession:
+    def __init__(self, mode_cfg, fs: float, chunk_size: Optional[int] = None,
+                 norm_factor: Optional[float] = None, quirks: bool = True):
+        self.cfg = mode_cfg
+        self.fs = float(fs)
+        self.chunk_size = int(chunk_size or mode_cfg.chunk_size)
+        self.dtype = mode_cfg.np_dtype()
+        self.params = chain_lib.make_params(mode_cfg, self.fs, quirks=quirks)
+        self.norm_factor = norm_factor
+        self.state = None           # created on first chunk (needs norm)
+        self.framer = StreamFramer(mode_cfg.framer)
+        self.total_samples = 0
+        self.total_symbols = 0
+        self.total_bits = 0
+        self.avg_phase = float(np.pi / 2.0)
+        self.lock_freq_hz: Optional[float] = None
+        self._was_locked = False
+
+    def _ensure_state(self, first_chunk_iq):
+        if self.state is not None:
+            return
+        if self.norm_factor is None:
+            # StaticGain over the first chunk (POESTIPdemod/main.c:386)
+            self.norm_factor = agc_ops.static_gain(
+                first_chunk_iq, self.cfg.static_gain_level, self.dtype)
+        self.state = chain_lib.init_state(
+            self.params, self.norm_factor, self.chunk_size, self.dtype)
+
+    def process(self, iq: np.ndarray, t: np.ndarray,
+                t_next: np.ndarray) -> List[Frame]:
+        """Feed one chunk (<= chunk_size samples). Returns frames completed."""
+        self._ensure_state(iq)
+        re = np.ascontiguousarray(np.real(iq), self.dtype)
+        im = np.ascontiguousarray(np.imag(iq), self.dtype)
+        self.state, out = chain_lib.chunk_step(
+            self.params, self.state, jnp.asarray(re), jnp.asarray(im),
+            jnp.asarray(t), jnp.asarray(t_next))
+
+        bits = np.asarray(out.bits)
+        mask = np.asarray(out.bit_mask)
+        btimes = np.asarray(out.bit_times)
+        bits_c = bits[mask]
+        times_c = btimes[mask]
+        self.total_samples += len(re)
+        self.total_symbols += int(out.sym_count)
+        self.total_bits += len(bits_c)
+        self.avg_phase = float(out.avg_phase)
+        locked = bool(np.asarray(self.state.pll.locked))
+        if locked and not self._was_locked:
+            self._was_locked = True
+            self.lock_freq_hz = float(
+                np.asarray(self.state.pll.freq) * self.fs / (2 * np.pi))
+        return self.framer.process(bits_c, times_c)
+
+    def run(self, iq: np.ndarray, t: np.ndarray) -> DemodResult:
+        """Process a whole recording (replicates the reference chunk loop)."""
+        n = len(iq)
+        ts = self.dtype.type(1.0) / self.dtype.type(self.fs)
+        t_ext = np.concatenate([t, [t[-1] + ts] if n else [ts]]).astype(self.dtype)
+        for start in range(0, n, self.chunk_size):
+            end = min(start + self.chunk_size, n)
+            self.process(iq[start:end], t[start:end], t_ext[start + 1:end + 1])
+        self.framer.flush()
+        return self.result()
+
+    def result(self) -> DemodResult:
+        return DemodResult(
+            frames=list(self.framer.frames),
+            total_samples=self.total_samples,
+            total_symbols=self.total_symbols,
+            total_bits=self.total_bits,
+            quality_db=quality_db_from_avg_phase(self.avg_phase),
+            lock_freq_hz=self.lock_freq_hz,
+            avg_phase=self.avg_phase,
+        )
+
+
+def demodulate_wav(path: str, mode_cfg, chunk_size: Optional[int] = None,
+                   norm_factor: Optional[float] = None,
+                   sample_rate_override: float = 0.0,
+                   quirks: bool = True) -> DemodResult:
+    iq, t, fs, _ = wav_lib.load_iq_wav(path, mode_cfg.np_dtype(),
+                                       sample_rate_override)
+    sess = DemodSession(mode_cfg, fs, chunk_size, norm_factor, quirks)
+    return sess.run(iq, t)
+
+
+def demodulate_raw(path: str, mode_cfg, sample_rate_hz: float,
+                   chunk_size: Optional[int] = None,
+                   norm_factor: Optional[float] = None,
+                   quirks: bool = True) -> DemodResult:
+    iq, t, fs = wav_lib.load_iq_raw(path, sample_rate_hz, mode_cfg.np_dtype())
+    sess = DemodSession(mode_cfg, fs, chunk_size, norm_factor, quirks)
+    return sess.run(iq, t)

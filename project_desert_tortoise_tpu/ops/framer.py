@@ -1,0 +1,222 @@
+"""Sync-word framers.
+
+Two implementations of the reference's per-app ``ByteSync.c``:
+
+- `StreamFramer`: exact streaming twin of ``POESTIPdemod/ByteSync.c:16`` /
+  ``ARGOSdemod/ByteSync.c:17`` (host-side, numpy): 19/13-bit history window,
+  optional inverted-sync matching with complemented decoding, detection
+  suppressed while a frame is shifting, fixed prefix bytes, per-frame
+  timestamp = time of the last sync bit.  State is explicit and serializable,
+  so streams resume at any chunk boundary.
+
+- `frame_extract`: data-parallel formulation for the block fast path: match
+  all sync positions at once (window compare), greedily suppress overlapping
+  candidates with a tiny scan, then gather+pack payload bits via a dot with
+  bit weights (MXU-friendly).  Produces the same frames for in-block syncs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class Frame:
+    time: float
+    inverted: bool
+    data: np.ndarray          # uint8 payload including prefix bytes
+    complete: bool = True
+
+    def hex_line(self, time_decimals: int = 5) -> str:
+        ts = f"{self.time:.{time_decimals}f}"
+        if self.inverted:
+            ts += "i"
+        body = " ".join(f"{b:02X}" for b in self.data)
+        return f"{ts} {body}"
+
+
+class StreamFramer:
+    """Exact streaming framer; one instance per channel."""
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.sync = cfg.sync_bits()          # uint8 0/1
+        self.n_sync = len(self.sync)
+        self.history = np.zeros(self.n_sync, np.uint8)  # memset '0' equivalent
+        self.shifting = False
+        self.inverted = False
+        self.bit_idx = 0
+        self.byte = 0
+        self.frame: List[int] = []
+        self.frame_time = 0.0
+        self.frames: List[Frame] = []
+
+    def process(self, bits: np.ndarray, times: np.ndarray) -> List[Frame]:
+        """Consume a chunk of bits (uint8 0/1) with per-bit times; returns
+        frames completed or started during this chunk (completed ones only)."""
+        cfg = self.cfg
+        done_before = len(self.frames)
+        for i in range(len(bits)):
+            b = int(bits[i])
+            if self.shifting:
+                eff = (1 - b) if self.inverted else b
+                self.byte = ((self.byte << 1) | eff) & 0xFF
+                self.bit_idx += 1
+                if self.bit_idx > 7:
+                    self.frame.append(self.byte)
+                    self.byte = 0
+                    self.bit_idx = 0
+                    if len(self.frame) >= cfg.frame_bytes - cfg.data_start_byte + len(cfg.prefix_bytes):
+                        self._finish(complete=True)
+
+            self.history = np.roll(self.history, -1)
+            self.history[-1] = b
+
+            if not self.shifting:
+                if np.array_equal(self.history, self.sync):
+                    self._start(float(times[i]), inverted=False)
+                elif cfg.detect_inverted and np.array_equal(self.history, 1 - self.sync):
+                    self._start(float(times[i]), inverted=True)
+        return self.frames[done_before:]
+
+    def _start(self, t: float, inverted: bool):
+        cfg = self.cfg
+        self.shifting = True
+        self.inverted = inverted
+        self.frame_time = t
+        self.frame = list(cfg.prefix_bytes)
+        self.byte = 0
+        self.bit_idx = cfg.first_bit_index
+
+    def _finish(self, complete: bool):
+        self.frames.append(Frame(self.frame_time, self.inverted,
+                                 np.array(self.frame, np.uint8), complete))
+        self.shifting = False
+        self.frame = []
+
+    def flush(self) -> Optional[Frame]:
+        """At end of stream: surface a partial frame, if any (the reference
+        leaves it as an unterminated output line)."""
+        if self.shifting and self.frame:
+            self._finish(complete=False)
+            return self.frames[-1]
+        return None
+
+
+class FrameBatch(NamedTuple):
+    """Fixed-capacity frame output of the data-parallel framer."""
+    times: jnp.ndarray       # (..., cap)
+    inverted: jnp.ndarray    # (..., cap) bool
+    data: jnp.ndarray        # (..., cap, frame_bytes_out) uint8
+    count: jnp.ndarray       # (...,)
+
+
+def frame_extract(bits, times, n_bits, cfg, max_frames: int):
+    """Data-parallel frame extraction over a bit block.
+
+    bits: (..., nb) uint8 0/1; times: (..., nb); n_bits: valid count.
+    Frames whose payload would run past n_bits are dropped (the block driver
+    provides a tail halo so real frames never do).
+    """
+    sync = jnp.asarray(cfg.sync_bits())
+    n_sync = len(cfg.sync_word)
+    payload = cfg.payload_bits
+    nb = bits.shape[-1]
+
+    bipolar = bits.astype(jnp.int32) * 2 - 1
+    pat = (sync.astype(jnp.int32) * 2 - 1)
+    # correlation: windows ending at i; position i = last sync bit
+    corr = _corr_last(bipolar, pat)
+    pos_ids = jnp.broadcast_to(jnp.arange(nb), bits.shape)
+    in_range = (pos_ids >= n_sync - 1) & (pos_ids < jnp.asarray(n_bits)[..., None])
+    match_n = (corr == n_sync) & in_range
+    match_i = (corr == -n_sync) & in_range if cfg.detect_inverted else jnp.zeros_like(match_n)
+    match = match_n | match_i
+
+    # greedy suppression: a sync inside a shifting frame is ignored
+    def suppress(last_end, inp):
+        m, i = inp
+        # after a sync at i, the frame's last bit is i + payload; detection
+        # re-arms on that same bit (ByteSync.c processes the shift before the
+        # sync compare), so the next acceptable sync position is >= i + payload
+        ok = m & (i >= last_end)
+        last_end = jnp.where(ok, i + payload, last_end)
+        return last_end, ok
+
+    ids = jnp.moveaxis(pos_ids, -1, 0)
+    _, ok = jax.lax.scan(
+        suppress, jnp.zeros(bits.shape[:-1], jnp.int32),
+        (jnp.moveaxis(match, -1, 0), ids))
+    accepted = jnp.moveaxis(ok, 0, -1)
+
+    # complete frames only: payload must fit in the valid region
+    fits = pos_ids + payload < jnp.asarray(n_bits)[..., None]
+    accepted = accepted & fits
+
+    # compress accepted positions into frame slots
+    slot = jnp.cumsum(accepted.astype(jnp.int32), axis=-1) - 1
+    slot = jnp.where(accepted, slot, max_frames)
+    sync_pos = _scatter_ix(jnp.zeros(bits.shape[:-1] + (max_frames + 1,), jnp.int32),
+                           slot, pos_ids)
+    inv = _scatter_ix(jnp.zeros(bits.shape[:-1] + (max_frames + 1,), bool),
+                      slot, match_i)
+    count = jnp.sum(accepted.astype(jnp.int32), axis=-1)
+    sync_pos = sync_pos[..., :max_frames]
+    inv = inv[..., :max_frames]
+
+    f_times = jnp.take_along_axis(times, sync_pos, axis=-1)
+
+    # gather payload bits: (..., max_frames, payload)
+    gidx = sync_pos[..., None] + 1 + jnp.arange(payload)
+    pay = jnp.take_along_axis(bits, jnp.clip(gidx, 0, nb - 1).reshape(
+        bits.shape[:-1] + (-1,)), axis=-1).reshape(gidx.shape)
+    pay = jnp.where(inv[..., None], 1 - pay, pay)
+
+    data = _pack_bytes(pay, cfg)
+    return FrameBatch(times=f_times, inverted=inv, data=data, count=count)
+
+
+def _corr_last(bipolar, pat):
+    """corr[i] = sum_k pat[k] * x[i - (P-1) + k] — window ENDING at i."""
+    p = len(pat)
+    batch = bipolar.shape[:-1]
+    lhs = bipolar.reshape((-1, 1, bipolar.shape[-1])).astype(jnp.float32)
+    rhs = pat.reshape((1, 1, p)).astype(jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), [(p - 1, 0)], dimension_numbers=("NCW", "IOW", "NCW"))
+    return jnp.round(y).astype(jnp.int32).reshape(batch + (bipolar.shape[-1],))
+
+
+def _scatter_ix(out, idx, vals):
+    if out.ndim == 1:
+        return out.at[idx].set(vals, mode="drop")
+    fo = out.reshape((-1, out.shape[-1]))
+    fi = idx.reshape((-1, idx.shape[-1]))
+    fv = vals.reshape((-1, vals.shape[-1]))
+    res = jax.vmap(lambda o, i, v: o.at[i].set(v, mode="drop"))(fo, fi, fv)
+    return res.reshape(out.shape)
+
+
+def _pack_bytes(pay, cfg):
+    """Pack payload bits into bytes: first byte takes (8 - first_bit_index)
+    bits (the sync tail supplies the implicit leading zeros), the rest 8 each;
+    prefix bytes are prepended as constants."""
+    first_bits = 8 - cfg.first_bit_index
+    n_data = cfg.frame_bytes - cfg.data_start_byte
+    w_first = 2 ** jnp.arange(first_bits - 1, -1, -1)
+    first = jnp.einsum("...b,b->...", pay[..., :first_bits].astype(jnp.int32),
+                       w_first).astype(jnp.uint8)
+    rest_bits = pay[..., first_bits:first_bits + (n_data - 1) * 8]
+    rest = rest_bits.reshape(rest_bits.shape[:-1] + (n_data - 1, 8))
+    w8 = 2 ** jnp.arange(7, -1, -1)
+    rest = jnp.einsum("...kb,b->...k", rest.astype(jnp.int32), w8).astype(jnp.uint8)
+    prefix = jnp.broadcast_to(
+        jnp.asarray(cfg.prefix_bytes, jnp.uint8),
+        first.shape + (len(cfg.prefix_bytes),)) if cfg.prefix_bytes else None
+    parts = ([prefix] if prefix is not None else []) + [first[..., None], rest]
+    return jnp.concatenate(parts, axis=-1)

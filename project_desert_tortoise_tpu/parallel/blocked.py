@@ -1,0 +1,221 @@
+"""Block-parallel demodulation — the TPU fast path.
+
+The reference is a single sequential stream: every sample passes through four
+feedback loops one at a time.  On TPU we shard the recording into overlapping
+time blocks and demodulate ALL blocks simultaneously:
+
+    [ head halo | core | tail halo ]  x  B blocks  (+ channel axis)
+
+- head halo: warm-up region. Each block's PLL is initialized from a coarse
+  FFT carrier estimate of its own halo (the BPSK squared-carrier line), so it
+  starts in the tracking regime and settles within a few thousand samples —
+  instead of replaying the reference's acquisition sweep per block.  AGC,
+  Gardner, and Manchester phase all converge inside the halo too.
+- tail halo: frame-completion region, long enough that any sync word whose
+  last bit lands inside the core finishes its payload inside the block.
+- stitching: keep frames whose sync time falls inside the block's core
+  interval — exact and dedup-free, because block cores tile the recording and
+  sync times are values of the shared time axis.
+
+Every stage is the SAME scan/conv code as the exact chain, vmapped over the
+block axis: one scan step advances hundreds of independent block lanes on the
+VPU, which is where the >100x-over-C throughput comes from.  The 180-degree
+BPSK phase ambiguity of per-block relock is absorbed by the framer's
+inverted-sync path (``POESTIPdemod/ByteSync.c:112``).
+
+The time axis is the reference's float32 *accumulated* timebase (sliced per
+block on the host), so fast-mode frame timestamps match the exact chain
+bit-for-bit, including its long-recording rounding behavior.
+
+Correctness contract: frame-level parity with the exact chain (sync-rate
+bound, BASELINE.md), validated in tests/test_blocked.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from project_desert_tortoise_tpu import chain as chain_lib
+from project_desert_tortoise_tpu.ops import agc as agc_ops
+from project_desert_tortoise_tpu.ops import clock as clock_ops
+from project_desert_tortoise_tpu.ops import fir as fir_ops
+from project_desert_tortoise_tpu.ops import framer as framer_ops
+from project_desert_tortoise_tpu.ops import manchester as man_ops
+from project_desert_tortoise_tpu.ops import pll as pll_ops
+from project_desert_tortoise_tpu.ops.framer import Frame
+
+
+class BlockPlan(NamedTuple):
+    core: int          # samples per block core
+    head: int          # warm-up halo samples
+    tail: int          # frame-completion halo samples
+    max_frames: int    # frame capacity per block
+
+    @property
+    def total(self) -> int:
+        return self.head + self.core + self.tail
+
+
+def default_plan(mode_cfg, fs: float, core: Optional[int] = None) -> BlockPlan:
+    fr = mode_cfg.framer
+    bit_rate = mode_cfg.gardner.baud / 2.0
+    frame_s = (fr.payload_bits + fr.sync_len + 8) / bit_rate
+    tail = int(np.ceil(frame_s * fs)) + 256
+    head = int(0.25 * fs)              # PLL/AGC/timing settle (0.25 s)
+    core = int(core or 2.0 * fs)       # 2 s default
+    max_frames = int(np.ceil((core + tail) / fs / (fr.payload_bits / bit_rate))) + 4
+    return BlockPlan(core=core, head=head, tail=tail, max_frames=max_frames)
+
+
+def coarse_carrier_est(zre, zim, fs: float, nfft: int = 8192):
+    """Per-block carrier estimate from the BPSK squared spectrum.
+
+    Uses the first nfft samples of each block.  Returns Hz in [-fs/4, fs/4)
+    (the squared signal's carrier line sits at 2*f0)."""
+    re = zre[..., :nfft]
+    im = zim[..., :nfft]
+    sq = (re + 1j * im) ** 2
+    spec = jnp.abs(jnp.fft.fft(sq, n=nfft, axis=-1))
+    peak = jnp.argmax(spec, axis=-1)
+    freq2 = jnp.where(peak > nfft // 2, peak - nfft, peak) * (fs / nfft)
+    return (freq2 / 2.0).astype(zre.dtype)
+
+
+def _plan_caps(total: int, params, interp: int):
+    n_i = total * interp
+    max_syms = int(n_i / params.step_size * 1.02) + 16
+    max_bits = max_syms // 2 + 8
+    return n_i, max_syms, max_bits
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def demod_blocks(params: chain_lib.ChainParams, total: int,
+                 blocks_re, blocks_im, fs: float, t_next, freq_est, norm_gain):
+    """Demodulate (B, total) sample blocks -> compressed per-block bits.
+
+    t_next: (B, total) — time of sample i+1 for each block position (sliced
+    from the stream's accumulated time axis).
+    freq_est: (B,) coarse carrier estimate in Hz.
+    Returns (bits, bit_times, n_bits, avg_phase).
+    """
+    dt = blocks_re.dtype
+    B = blocks_re.shape[0]
+    interp = params.interp
+    taps = np.asarray(params.taps, dt)
+
+    # warm PLL init: tracking bandwidth, frequency from the coarse estimate
+    pll_state = pll_ops.init_state(params.pll, dt, (B,))
+    pll_state = pll_state._replace(
+        freq=(jnp.asarray(2.0 * np.pi / fs, dt) * freq_est),
+        locked=jnp.ones((B,), bool),
+    )
+    pll_state, soft, locksig = pll_ops.pll_scan(params.pll, pll_state,
+                                                (blocks_re, blocks_im))
+    if params.squelch_position == "after_pll":
+        soft = agc_ops.squelch(soft, locksig, params.squelch_threshold)
+
+    y = fir_ops.fir_interp(soft, taps, interp)
+    agc_state = agc_ops.agc_init(norm_gain, dt, (B,))
+    agc_state, y = agc_ops.agc_scan(agc_state, y, params.agc_attack,
+                                    params.agc_decay)
+    if params.squelch_position == "after_agc":
+        y = agc_ops.squelch(y, locksig, params.squelch_threshold)
+
+    t_out = fir_ops.fir_out_times(t_next, interp)
+
+    n_i, max_syms, max_bits = _plan_caps(total, params, interp)
+    g_state = clock_ops.gardner_init(dt, (B,))
+    g_state, syms, sym_times, sym_valid, _ = clock_ops.gardner_scan(
+        g_state, y, t_out, jnp.full((B,), n_i), params.step_size,
+        params.gardner_err_limit, params.gardner_gain, max_syms)
+
+    m_state = man_ops.manchester_init(dt, (B,))
+    m_state, bits, bit_times, bit_mask = man_ops.manchester_scan(
+        m_state, syms, sym_times, sym_valid, params.resync_threshold)
+
+    bits_c, times_c, n_bits = man_ops.compress_stream(
+        bits, bit_times, bit_mask, max_bits)
+    return bits_c, times_c, n_bits, pll_state.avg_phase
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def extract_frames(framer_cfg, max_frames: int, bits_c, times_c, n_bits):
+    return framer_ops.frame_extract(bits_c, times_c, n_bits, framer_cfg,
+                                    max_frames)
+
+
+def stage_blocks(re, im, t_ext, plan: BlockPlan, b0: int, bn: int, dt):
+    """Host-side: cut bn overlapping blocks starting at core index b0."""
+    n = len(re)
+    blocks_re = np.zeros((bn, plan.total), dt)
+    blocks_im = np.zeros((bn, plan.total), dt)
+    t_next = np.zeros((bn, plan.total), dt)
+    bounds = np.zeros((bn, 2), np.float64)
+    for k in range(bn):
+        b = b0 + k
+        lo = b * plan.core - plan.head
+        hi = lo + plan.total
+        src_lo, src_hi = max(lo, 0), min(hi, n)
+        d0 = src_lo - lo
+        blocks_re[k, d0:d0 + src_hi - src_lo] = re[src_lo:src_hi]
+        blocks_im[k, d0:d0 + src_hi - src_lo] = im[src_lo:src_hi]
+        # t_next[i] = time of sample (lo+i)+1 = t_ext[lo+i+1]
+        t_next[k, d0:d0 + src_hi - src_lo] = t_ext[src_lo + 1:src_hi + 1]
+        core_start = b * plan.core
+        core_end = min(core_start + plan.core, n)
+        bounds[k, 0] = t_ext[core_start] if core_start < len(t_ext) else np.inf
+        bounds[k, 1] = t_ext[core_end] if core_end < len(t_ext) else np.inf
+    return blocks_re, blocks_im, t_next, bounds
+
+
+def demodulate_blocked(iq, t, fs, mode_cfg, norm_factor: Optional[float] = None,
+                       plan: Optional[BlockPlan] = None,
+                       batch_blocks: int = 64) -> List[Frame]:
+    """Demodulate a whole recording via parallel blocks; returns complete
+    frames in stream order."""
+    dt = np.dtype(np.float32) if mode_cfg.np_dtype().itemsize == 4 \
+        else mode_cfg.np_dtype()
+    params = chain_lib.make_params(mode_cfg, fs, quirks=False)
+    plan = plan or default_plan(mode_cfg, fs)
+    n = len(iq)
+    if norm_factor is None:
+        norm_factor = agc_ops.static_gain(iq[:min(n, mode_cfg.chunk_size)],
+                                          mode_cfg.static_gain_level, dt)
+    re = np.ascontiguousarray(np.real(iq), dt)
+    im = np.ascontiguousarray(np.imag(iq), dt)
+    ts = dt.type(1.0) / dt.type(fs)
+    t_ext = np.concatenate([np.asarray(t, dt), [dt.type(t[-1] + ts)]]) if n \
+        else np.zeros(1, dt)
+
+    n_blocks = max(1, -(-n // plan.core))
+    frames: List[Frame] = []
+    for b0 in range(0, n_blocks, batch_blocks):
+        bn = min(batch_blocks, n_blocks - b0)
+        brs, bis, t_next, bounds = stage_blocks(re, im, t_ext, plan, b0, bn, dt)
+        jre, jim = jnp.asarray(brs), jnp.asarray(bis)
+        # estimate from the core region (block 0's head halo is zero padding)
+        fest = coarse_carrier_est(jre[:, plan.head:], jim[:, plan.head:],
+                                  float(fs))
+        bits_c, times_c, n_bits, _ = demod_blocks(
+            params, plan.total, jre, jim, float(fs), jnp.asarray(t_next),
+            fest, float(norm_factor))
+        fb = extract_frames(mode_cfg.framer, plan.max_frames, bits_c,
+                            times_c, n_bits)
+        counts = np.asarray(fb.count)
+        f_times = np.asarray(fb.times)
+        f_inv = np.asarray(fb.inverted)
+        f_data = np.asarray(fb.data)
+        for k in range(bn):
+            lo_t, hi_t = bounds[k]
+            for j in range(int(counts[k])):
+                tt = float(f_times[k, j])
+                if lo_t <= tt < hi_t:
+                    frames.append(Frame(tt, bool(f_inv[k, j]),
+                                        f_data[k, j].copy(), True))
+    frames.sort(key=lambda f: f.time)
+    return frames

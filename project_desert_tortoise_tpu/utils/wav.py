@@ -1,0 +1,145 @@
+"""IQ ingest: 2-channel WAV and 32-bit-float RAW readers.
+
+Behavioral twin of the reference reader (``common/wave.c``): canonical 44-byte
+RIFF header parsed field-by-field little-endian (``wave.c:303-378``), I channel
+first / Q second (``wave.c:159-166``), PCM normalized by 128 / 32768 / 2^31
+(``wave.c:109-124``), and a synthesized time axis that starts at ``Ts`` and
+accumulates in the stream dtype (``wave.c:167-168`` — ``time += Ts`` before the
+first store, with float32 sequential accumulation when the mode runs float32).
+
+Unlike the reference this reads whole files (or memory-mapped slices) in bulk;
+the chunked-streaming behavior lives in the chain driver, which slices these
+arrays.  A C++ fast path for the PCM->float conversion lives in ``native/``
+(used automatically when built).
+
+Deviations from the reference, on purpose:
+- 32-bit PCM WAVs are converted correctly; the reference truncates each 32-bit
+  sample through an ``int16_t`` (``wave.c:93`` vs ``wave.c:141``), which
+  produces garbage for such files.
+- Reads never trust ``data_size`` (the reference also reads to EOF).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class WavHeader:
+    riff: bytes
+    overall_size: int
+    wave: bytes
+    fmt_marker: bytes
+    length_of_fmt: int
+    format_type: int
+    channels: int
+    sample_rate: int
+    byterate: int
+    block_align: int
+    bits_per_sample: int
+    data_marker: bytes
+    data_size: int
+
+    @property
+    def num_samples(self) -> int:
+        return (8 * self.data_size) // (self.channels * self.bits_per_sample)
+
+    @property
+    def duration_s(self) -> float:
+        return self.overall_size / self.byterate
+
+
+def read_wav_header(raw: bytes) -> WavHeader:
+    """Parse the fixed 44-byte canonical header, as ``wave.c:303`` does."""
+    if len(raw) < 44:
+        raise ValueError("file shorter than a canonical RIFF header")
+    (riff, overall, wave, fmtm, lfmt, ftype, ch, rate, brate, balign, bps,
+     datam, dsize) = struct.unpack("<4sI4s4sIHHIIHH4sI", raw[:44])
+    return WavHeader(riff, overall, wave, fmtm, lfmt, ftype, ch, rate, brate,
+                     balign, bps, datam, dsize)
+
+
+def _pcm_to_float(data: np.ndarray, bits: int, dtype) -> np.ndarray:
+    if bits == 16:
+        return (data.view("<i2").astype(dtype)) / dtype.type(32768)
+    if bits == 8:
+        # wave.c:154 keeps the raw unsigned byte value and divides by 128.
+        return (data.astype(dtype)) / dtype.type(128)
+    if bits == 32:
+        return (data.view("<i4").astype(dtype)) / dtype.type(2147483648)
+    raise ValueError(f"unsupported bits_per_sample: {bits}")
+
+
+def time_axis(n: int, fs: float, dtype, t0=None) -> np.ndarray:
+    """Reference time base: t[i] = fold(t[i-1] + Ts) in stream dtype.
+
+    ``np.add.accumulate`` is a strict sequential left fold, matching the C
+    accumulation ``time += Ts`` (``wave.c:167``) rounding-for-rounding.
+    """
+    dtype = np.dtype(dtype)
+    ts = dtype.type(1.0) / dtype.type(fs)
+    steps = np.full(n, ts, dtype)
+    if t0 is not None:
+        if n == 0:
+            return steps
+        steps[0] = dtype.type(t0) + ts
+    return np.add.accumulate(steps, dtype=dtype)
+
+
+def load_iq_wav(path: str, dtype=np.float32, sample_rate_override: float = 0.0):
+    """Read a 2-channel PCM WAV into (iq complex, time, fs, header)."""
+    dtype = np.dtype(dtype)
+    with open(path, "rb") as f:
+        raw = f.read()
+    header = read_wav_header(raw)
+    if header.channels != 2:
+        raise ValueError("complex read requires 2 channels (I and Q)")
+    if header.format_type != 1:
+        raise ValueError("only PCM is currently supported")
+    if sample_rate_override > 1:
+        header.sample_rate = int(sample_rate_override)
+    bytes_per_frame = header.channels * header.bits_per_sample // 8
+    body = raw[44:]
+    n = len(body) // bytes_per_frame
+    data = np.frombuffer(body, np.uint8, count=n * bytes_per_frame)
+    data = data.reshape(n, 2, header.bits_per_sample // 8)
+    vals = _pcm_to_float(data.reshape(n * 2, -1), header.bits_per_sample, dtype)
+    vals = vals.reshape(n, 2)
+    iq = np.empty(n, np.complex64 if dtype == np.float32 else np.complex128)
+    iq.real = vals[:, 0]
+    iq.imag = vals[:, 1]
+    t = time_axis(n, header.sample_rate, dtype)
+    return iq, t, float(header.sample_rate), header
+
+
+def load_iq_raw(path: str, sample_rate_hz: float, dtype=np.float32):
+    """SDR# RAW: interleaved 32-bit IEEE float I/Q, no normalization
+    (``wave.c:413-540``)."""
+    dtype = np.dtype(dtype)
+    body = np.fromfile(path, "<f4")
+    n = len(body) // 2
+    vals = body[: 2 * n].astype(dtype).reshape(n, 2)
+    iq = np.empty(n, np.complex64 if dtype == np.float32 else np.complex128)
+    iq.real = vals[:, 0]
+    iq.imag = vals[:, 1]
+    t = time_axis(n, sample_rate_hz, dtype)
+    return iq, t, float(sample_rate_hz)
+
+
+def write_iq_wav(path: str, iq: np.ndarray, fs: int, bits: int = 16):
+    """Write a canonical 2-channel PCM WAV (test fixtures / interop)."""
+    if bits != 16:
+        raise ValueError("only 16-bit write supported")
+    n = len(iq)
+    pcm = np.empty((n, 2), "<i2")
+    pcm[:, 0] = np.clip(np.round(np.real(iq) * 32767), -32768, 32767)
+    pcm[:, 1] = np.clip(np.round(np.imag(iq) * 32767), -32768, 32767)
+    body = pcm.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(body), b"WAVE", b"fmt ", 16, 1,
+        2, int(fs), int(fs) * 4, 4, 16, b"data", len(body))
+    with open(path, "wb") as f:
+        f.write(hdr + body)

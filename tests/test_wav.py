@@ -1,0 +1,49 @@
+import numpy as np
+
+from project_desert_tortoise_tpu.utils import wav as W
+from tests.conftest import load_tap
+
+
+def test_header_fields(poes_clip):
+    _, _, fs = poes_clip
+    assert fs == 50000.0
+
+
+def test_iq_bit_exact_vs_c(poes_clip, taps_dir):
+    iq, t, _ = poes_clip
+    iq_c = np.fromfile(f"{taps_dir}/iq.c64", np.complex64)
+    t_c = load_tap("time.f32")
+    assert np.array_equal(iq, iq_c)
+    assert np.array_equal(t, t_c)
+
+
+def test_time_axis_fold_semantics():
+    # t[0] = Ts (the reference accumulates before the first store)
+    t = W.time_axis(5, 50000.0, np.float32)
+    ts = np.float32(1.0) / np.float32(50000.0)
+    assert t[0] == ts
+    acc = ts
+    for i in range(1, 5):
+        acc = np.float32(acc + ts)
+        assert t[i] == acc
+
+
+def test_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    iq = (rng.uniform(-0.9, 0.9, 1000) + 1j * rng.uniform(-0.9, 0.9, 1000))
+    p = str(tmp_path / "x.wav")
+    W.write_iq_wav(p, iq, 48000)
+    iq2, t, fs, hdr = W.load_iq_wav(p)
+    assert fs == 48000.0
+    assert hdr.bits_per_sample == 16
+    assert np.abs(iq2 - iq).max() < 1.5 / 32768
+
+
+def test_raw_reader(tmp_path):
+    rng = np.random.default_rng(1)
+    vals = rng.standard_normal((100, 2)).astype("<f4")
+    p = str(tmp_path / "x.raw")
+    vals.tofile(p)
+    iq, t, fs = W.load_iq_raw(p, 48000.0)
+    assert np.array_equal(np.real(iq), vals[:, 0])
+    assert np.array_equal(np.imag(iq), vals[:, 1])
