@@ -57,10 +57,11 @@ def agc_init(initial_gain, dtype=jnp.float32, batch_shape=()) -> AGCState:
 
 def agc_scan(state: AGCState, x, attack_rate: float, decay_rate: float,
              reference: float = 1.0, max_gain: float = 5000.0,
-             min_gain: float = 10e-5, unroll: int = 8):
+             min_gain: float = 10e-5, unroll: int = 8, window: int = 0):
     """GNURadio-style attack/decay AGC (``AGC.c:78-132``).
 
     x: (..., n), scanned over the last axis.  Returns (state, y).
+    `window > 0` nests the scan over VMEM-sized chunks (see pll_scan).
     """
     dt = x.dtype
     c = lambda v: jnp.asarray(v, dt)
@@ -74,8 +75,19 @@ def agc_scan(state: AGCState, x, attack_rate: float, decay_rate: float,
         gain = jnp.where(gain > c(max_gain), c(max_gain), gain)
         return gain, y
 
-    gain, y = jax.lax.scan(step, state.gain, jnp.moveaxis(x, -1, 0),
-                           unroll=unroll)
+    xs = jnp.moveaxis(x, -1, 0)
+    if window:
+        n = xs.shape[0]
+        assert n % window == 0, (n, window)
+        xs_w = xs.reshape((n // window, window) + xs.shape[1:])
+
+        def outer(g, xw):
+            return jax.lax.scan(step, g, xw, unroll=unroll)
+
+        gain, y = jax.lax.scan(outer, state.gain, xs_w)
+        y = y.reshape((n,) + y.shape[2:])
+    else:
+        gain, y = jax.lax.scan(step, state.gain, xs, unroll=unroll)
     return AGCState(gain=gain), jnp.moveaxis(y, 0, -1)
 
 

@@ -139,3 +139,112 @@ def mm_scan(state, x, t, n, fs: float, baud: float, step_range: float,
     st = (st[0] - n.astype(dt), st[1], st[2])
     return st, (jnp.moveaxis(syms, 0, -1), jnp.moveaxis(times, 0, -1),
                 jnp.moveaxis(valid, 0, -1), count)
+
+
+def gardner_manchester_windowed(g_state, m_state, x, t, n, step_size: float,
+                                err_limit: float, kp: float,
+                                resync_threshold: float, window: int,
+                                margin: int = 16, unroll: int = 2):
+    """Fused Gardner + Manchester over VMEM-sized windows — the fast path.
+
+    The monolithic `gardner_scan` gathers from the whole (B, cap) array every
+    step; when that array exceeds VMEM the per-step gather goes to HBM and
+    dominates the entire pipeline.  Here an outer scan walks length-`window`
+    chunks (each a loop-local VMEM buffer, plus a `margin` of left-context for
+    the mid-bit read) and an inner masked scan recovers that window's symbols
+    and Manchester-decodes them in the same step.  Identical arithmetic to the
+    separate scans; symbol order is preserved via emit masks.
+
+    x, t: (..., cap) with cap % window == 0; n: valid length (<= cap).
+    Returns (g_state, m_state, bits, bit_times, emit_mask) where the output
+    arrays have trailing dim n_win * syms_per_window.
+    """
+    from project_desert_tortoise_tpu.ops.manchester import ManchesterState
+
+    dt = x.dtype
+    cap = x.shape[-1]
+    assert cap % window == 0, (cap, window)
+    n_win = cap // window
+    spw = int(window / step_size * 1.08) + 4
+    c = lambda v: jnp.asarray(v, dt)
+    n = jnp.asarray(n)
+    thr = jnp.asarray(resync_threshold, dt)
+
+    # windows with left margin: wnd[w] = padded(x)[w*window : w*window+window+margin]
+    xp = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (margin,), dt), x], axis=-1)
+    tp = jnp.concatenate(
+        [jnp.zeros(t.shape[:-1] + (margin,), dt), t], axis=-1)
+    idx = (jnp.arange(n_win)[:, None] * window
+           + jnp.arange(window + margin)[None, :])            # (n_win, W+m)
+    xw_all = jnp.take(xp, idx, axis=-1)   # (..., n_win, W+m)
+    tw_all = jnp.take(tp, idx, axis=-1)
+    xw_all = jnp.moveaxis(xw_all, -2, 0)  # (n_win, ..., W+m)
+    tw_all = jnp.moveaxis(tw_all, -2, 0)
+
+    def take(arr, i):
+        return jnp.take_along_axis(arr, i[..., None], axis=-1)[..., 0]
+
+    def outer(carry, inp):
+        g, m, w = carry[0], carry[1], carry[2]
+        xw, tw = inp
+        w_end = jnp.minimum((w + 1) * window, n).astype(dt)
+        base = (w * window - margin).astype(jnp.int32)
+
+        def inner(ic, _):
+            g, m = ic
+            idxf = jnp.round(g.next_sample)
+            active = idxf < w_end
+            ii = jnp.clip(idxf.astype(jnp.int32) - base, 0, window + margin - 1)
+            cur = take(xw, ii)
+            tval = take(tw, ii)
+            hidxf = jnp.round(g.half_raw)
+            hl = hidxf.astype(jnp.int32) - base
+            h_ok = (hl >= 0) & (hl < window + margin) & (hidxf >= 0)
+            hval = jnp.where(h_ok, take(xw, jnp.clip(hl, 0, window + margin - 1)),
+                             jnp.zeros((), dt))
+
+            err = jnp.clip(c(kp) * (cur - g.prev_bit) * hval,
+                           c(-err_limit), c(err_limit))
+            ns = g.next_sample - err
+            half_new = ns + c(step_size) / 2.0
+            ns = ns + c(step_size)
+            g_new = GardnerState(
+                next_sample=jnp.where(active, ns, g.next_sample),
+                half_raw=jnp.where(active, half_new, g.half_raw),
+                prev_bit=jnp.where(active, cur, g.prev_bit),
+            )
+
+            # Manchester on this symbol (ManchesterDecode.c:27-97)
+            prevprev = m.prev
+            prev = m.cur
+            mismatch = m.evenodd != m.clockmod
+            strong = (jnp.abs(prevprev) > thr) & (jnp.abs(prev) > thr)
+            resync = (mismatch & (sign(prevprev) == sign(prev)) & strong)
+            clockmod = jnp.where(resync, m.evenodd, m.clockmod)
+            boundary = m.evenodd == clockmod
+            use_prev = jnp.abs(prev) > jnp.abs(cur)
+            bit = jnp.where(use_prev, (prev > 0).astype(jnp.uint8),
+                            1 - (cur > 0).astype(jnp.uint8))
+            emit = active & boundary
+            m_new = ManchesterState(
+                clockmod=jnp.where(active, clockmod, m.clockmod),
+                evenodd=jnp.where(active, (m.evenodd + 1) & 1, m.evenodd),
+                cur=jnp.where(active, cur, m.cur),
+                prev=jnp.where(active, prev, m.prev),
+                prevprev=jnp.where(active, prevprev, m.prevprev),
+            )
+            return (g_new, m_new), (bit, tval, emit)
+
+        (g, m), outs = jax.lax.scan(inner, (g, m), None, length=spw,
+                                    unroll=unroll)
+        return (g, m, w + 1), outs
+
+    (g_state, m_state, _), (bits, btimes, emit) = jax.lax.scan(
+        outer, (g_state, m_state, jnp.int32(0)), (xw_all, tw_all))
+    # (n_win, spw, ...) -> (..., n_win*spw)
+    def flat(a):
+        a = jnp.moveaxis(a.reshape((n_win * spw,) + a.shape[2:]), 0, -1)
+        return a
+    g_state = g_state._replace(next_sample=g_state.next_sample - n.astype(dt))
+    return g_state, m_state, flat(bits), flat(btimes), flat(emit)

@@ -72,18 +72,37 @@ def default_plan(mode_cfg, fs: float, core: Optional[int] = None) -> BlockPlan:
     return BlockPlan(core=core, head=head, tail=tail, max_frames=max_frames)
 
 
-def coarse_carrier_est(zre, zim, fs: float, nfft: int = 8192):
-    """Per-block carrier estimate from the BPSK squared spectrum.
+def coarse_carrier_est(zre, zim, fs: float, line_spacing_hz: float = 8320.0,
+                       nfft: int = 8192):
+    """Per-block data-aided carrier estimate from the BPSK squared spectrum.
 
-    Uses the first nfft samples of each block.  Returns Hz in [-fs/4, fs/4)
-    (the squared signal's carrier line sits at 2*f0)."""
-    re = zre[..., :nfft]
-    im = zim[..., :nfft]
-    sq = (re + 1j * im) ** 2
-    spec = jnp.abs(jnp.fft.fft(sq, n=nfft, axis=-1))
-    peak = jnp.argmax(spec, axis=-1)
-    freq2 = jnp.where(peak > nfft // 2, peak - nfft, peak) * (fs / nfft)
-    return (freq2 / 2.0).astype(zre.dtype)
+    Squared Manchester BPSK carries spectral lines at 2*f0 + k*bitrate (the
+    bit clock guarantees transitions), with magnitudes symmetric in k.  So:
+
+    1. circular power centroid of the (noise-floor-subtracted, squared)
+       line spectrum -> unbiased estimate of 2*f0;
+    2. strongest line within half a line spacing of the centroid -> the k=0
+       carrier line, at FFT-bin accuracy.
+
+    Welch-averaged over all length-nfft segments of the block, so partial
+    signal occupancy (pass start/end) is fine.  Returns Hz.
+    """
+    n = zre.shape[-1]
+    k = max(n // nfft, 1)
+    re = zre[..., :k * nfft].reshape(zre.shape[:-1] + (k, nfft))
+    im = zim[..., :k * nfft].reshape(zim.shape[:-1] + (k, nfft))
+    z = re + 1j * im
+    freqs = jnp.fft.fftfreq(nfft, 1.0 / fs)
+
+    sq = jnp.sum(jnp.abs(jnp.fft.fft(z * z, axis=-1)), axis=-2)
+    w = jnp.maximum(sq - jnp.median(sq, axis=-1, keepdims=True), 0.0) ** 2
+    ph = jnp.exp(1j * (2 * np.pi / fs) * freqs)
+    cen = jnp.angle(jnp.sum(w * ph, axis=-1)) * (fs / (2 * np.pi))
+
+    d = jnp.mod(freqs - cen[..., None] + fs / 2, fs) - fs / 2
+    masked = jnp.where(jnp.abs(d) < line_spacing_hz / 2.0, sq, 0.0)
+    f0 = jnp.take(freqs, jnp.argmax(masked, axis=-1)) / 2.0
+    return f0.astype(zre.dtype)
 
 
 def _plan_caps(total: int, params, interp: int):
@@ -93,20 +112,25 @@ def _plan_caps(total: int, params, interp: int):
     return n_i, max_syms, max_bits
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 8))
 def demod_blocks(params: chain_lib.ChainParams, total: int,
-                 blocks_re, blocks_im, fs: float, t_next, freq_est, norm_gain):
+                 blocks_re, blocks_im, fs: float, t_next, freq_est, norm_gain,
+                 window: int = 4096):
     """Demodulate (B, total) sample blocks -> compressed per-block bits.
 
     t_next: (B, total) — time of sample i+1 for each block position (sliced
     from the stream's accumulated time axis).
     freq_est: (B,) coarse carrier estimate in Hz.
+    window: VMEM chunk size for the nested scans (total % window == 0 when
+    set; 0 = monolithic scans, only sensible for small blocks).
     Returns (bits, bit_times, n_bits, avg_phase).
     """
     dt = blocks_re.dtype
     B = blocks_re.shape[0]
     interp = params.interp
     taps = np.asarray(params.taps, dt)
+    if window and total % window != 0:
+        window = 0  # fall back for odd sizes
 
     # warm PLL init: tracking bandwidth, frequency from the coarse estimate
     pll_state = pll_ops.init_state(params.pll, dt, (B,))
@@ -115,28 +139,39 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         locked=jnp.ones((B,), bool),
     )
     pll_state, soft, locksig = pll_ops.pll_scan(params.pll, pll_state,
-                                                (blocks_re, blocks_im))
+                                                (blocks_re, blocks_im),
+                                                window=window)
     if params.squelch_position == "after_pll":
         soft = agc_ops.squelch(soft, locksig, params.squelch_threshold)
 
     y = fir_ops.fir_interp(soft, taps, interp)
     agc_state = agc_ops.agc_init(norm_gain, dt, (B,))
     agc_state, y = agc_ops.agc_scan(agc_state, y, params.agc_attack,
-                                    params.agc_decay)
+                                    params.agc_decay,
+                                    window=window * interp if window else 0)
     if params.squelch_position == "after_agc":
         y = agc_ops.squelch(y, locksig, params.squelch_threshold)
 
     t_out = fir_ops.fir_out_times(t_next, interp)
 
-    n_i, max_syms, max_bits = _plan_caps(total, params, interp)
+    n_i = total * interp
     g_state = clock_ops.gardner_init(dt, (B,))
-    g_state, syms, sym_times, sym_valid, _ = clock_ops.gardner_scan(
-        g_state, y, t_out, jnp.full((B,), n_i), params.step_size,
-        params.gardner_err_limit, params.gardner_gain, max_syms)
-
     m_state = man_ops.manchester_init(dt, (B,))
-    m_state, bits, bit_times, bit_mask = man_ops.manchester_scan(
-        m_state, syms, sym_times, sym_valid, params.resync_threshold)
+    if window:
+        g_state, m_state, bits, bit_times, bit_mask = \
+            clock_ops.gardner_manchester_windowed(
+                g_state, m_state, y, t_out, jnp.full((B,), n_i),
+                params.step_size, params.gardner_err_limit,
+                params.gardner_gain, params.resync_threshold,
+                window=window * interp)
+        max_bits = bits.shape[-1] // 2 + 8
+    else:
+        _, max_syms, max_bits = _plan_caps(total, params, interp)
+        g_state, syms, sym_times, sym_valid, _ = clock_ops.gardner_scan(
+            g_state, y, t_out, jnp.full((B,), n_i), params.step_size,
+            params.gardner_err_limit, params.gardner_gain, max_syms)
+        m_state, bits, bit_times, bit_mask = man_ops.manchester_scan(
+            m_state, syms, sym_times, sym_valid, params.resync_threshold)
 
     bits_c, times_c, n_bits = man_ops.compress_stream(
         bits, bit_times, bit_mask, max_bits)
@@ -198,9 +233,8 @@ def demodulate_blocked(iq, t, fs, mode_cfg, norm_factor: Optional[float] = None,
         bn = min(batch_blocks, n_blocks - b0)
         brs, bis, t_next, bounds = stage_blocks(re, im, t_ext, plan, b0, bn, dt)
         jre, jim = jnp.asarray(brs), jnp.asarray(bis)
-        # estimate from the core region (block 0's head halo is zero padding)
-        fest = coarse_carrier_est(jre[:, plan.head:], jim[:, plan.head:],
-                                  float(fs))
+        fest = coarse_carrier_est(jre, jim, float(fs),
+                                  mode_cfg.gardner.baud / 2.0)
         bits_c, times_c, n_bits, _ = demod_blocks(
             params, plan.total, jre, jim, float(fs), jnp.asarray(t_next),
             fest, float(norm_factor))

@@ -64,6 +64,8 @@ def sharded_demod_step(params: chain_lib.ChainParams, plan, framer_cfg,
     from jax.experimental.shard_map import shard_map
 
     head, tail, core = plan.head, plan.tail, plan.core
+    # step_size = Fs*interp/baud  =>  bit rate = baud/2
+    bit_rate = fs * params.interp / params.step_size / 2.0
     total = plan.total
 
     def local_demod(re, im, tn, norm):
@@ -81,8 +83,7 @@ def sharded_demod_step(params: chain_lib.ChainParams, plan, framer_cfg,
             return jnp.stack(blocks, axis=1).reshape(c_loc * b_loc, total)
 
         bre, bim, btn = cut(re_h), cut(im_h), cut(tn_h)
-        fest = blocked_lib.coarse_carrier_est(
-            bre[:, head:], bim[:, head:], fs)
+        fest = blocked_lib.coarse_carrier_est(bre, bim, fs, bit_rate)
         bits_c, times_c, n_bits, avgp = blocked_lib.demod_blocks(
             params, total, bre, bim, fs, btn, fest, norm[0, 0])
         fb = blocked_lib.extract_frames(framer_cfg, plan.max_frames,

@@ -48,12 +48,13 @@ def progress_line(percent: float, total_ksamples: float, stream_time_s: float,
 def m2m4_snr_db(x) -> float:
     """M2M4 SNR estimate for a real BPSK soft stream (MATLAB ``M2M4.m:27-43``).
 
-    S = sqrt(2*M2^2 - M4), N = M2 - S (constant-modulus signal, Gaussian
-    noise assumption); returns 10*log10(S/N).
+    Real-signal constants: with x = s + n, s = +/-A, n ~ N(0, sigma^2):
+    M4 = S^2 + 6SN + 3N^2, so S = sqrt((3*M2^2 - M4)/2), N = M2 - S;
+    returns 10*log10(S/N).
     """
     x = jnp.asarray(x)
     m2 = jnp.mean(x * x)
     m4 = jnp.mean(x * x * x * x)
-    s = jnp.sqrt(jnp.maximum(2 * m2 * m2 - m4, 1e-30))
+    s = jnp.sqrt(jnp.maximum((3 * m2 * m2 - m4) / 2.0, 1e-30))
     n = jnp.maximum(m2 - s, 1e-30)
     return float(10.0 * jnp.log10(s / n))
