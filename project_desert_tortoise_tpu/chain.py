@@ -133,7 +133,9 @@ def chunk_step(params: ChainParams, state: ChainState, iq_re, iq_im,
     y = fir_ops.fir_interp(soft, taps, interp, state.fir_hist)
     fir_hist = fir_ops.fir_history_update(soft, state.fir_hist, len(taps),
                                           interp)
-    t_out = fir_ops.fir_out_times(t_next, interp)
+    # LowPassFilterInterp emits t[i+1] per output group (LowPassFilter.c:68);
+    # the plain LowPassFilter (interp == 1 modes) leaves the time axis alone
+    t_out = fir_ops.fir_out_times(t_next, interp) if interp > 1 else t
 
     agc_state, y = agc_ops.agc_scan(state.agc, y, params.agc_attack,
                                     params.agc_decay)

@@ -118,8 +118,9 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
                  window: int = 4096):
     """Demodulate (B, total) sample blocks -> compressed per-block bits.
 
-    t_next: (B, total) — time of sample i+1 for each block position (sliced
-    from the stream's accumulated time axis).
+    t_next: (B, total) — the stage time axis: time of sample i+1 for
+    interpolating modes (LowPassFilter.c:68), time of sample i for
+    interp == 1 modes (the plain filter leaves the time axis alone).
     freq_est: (B,) coarse carrier estimate in Hz.
     window: VMEM chunk size for the nested scans (total % window == 0 when
     set; 0 = monolithic scans, only sensible for small blocks).
@@ -152,7 +153,7 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
     if params.squelch_position == "after_agc":
         y = agc_ops.squelch(y, locksig, params.squelch_threshold)
 
-    t_out = fir_ops.fir_out_times(t_next, interp)
+    t_out = fir_ops.fir_out_times(t_next, interp) if interp > 1 else t_next
 
     n_i = total * interp
     g_state = clock_ops.gardner_init(dt, (B,))
@@ -184,7 +185,8 @@ def extract_frames(framer_cfg, max_frames: int, bits_c, times_c, n_bits):
                                     max_frames)
 
 
-def stage_blocks(re, im, t_ext, plan: BlockPlan, b0: int, bn: int, dt):
+def stage_blocks(re, im, t_ext, plan: BlockPlan, b0: int, bn: int, dt,
+                 shift: bool = True):
     """Host-side: cut bn overlapping blocks starting at core index b0."""
     n = len(re)
     blocks_re = np.zeros((bn, plan.total), dt)
@@ -199,8 +201,11 @@ def stage_blocks(re, im, t_ext, plan: BlockPlan, b0: int, bn: int, dt):
         d0 = src_lo - lo
         blocks_re[k, d0:d0 + src_hi - src_lo] = re[src_lo:src_hi]
         blocks_im[k, d0:d0 + src_hi - src_lo] = im[src_lo:src_hi]
-        # t_next[i] = time of sample (lo+i)+1 = t_ext[lo+i+1]
-        t_next[k, d0:d0 + src_hi - src_lo] = t_ext[src_lo + 1:src_hi + 1]
+        if shift:
+            # t_next[i] = time of sample (lo+i)+1 = t_ext[lo+i+1]
+            t_next[k, d0:d0 + src_hi - src_lo] = t_ext[src_lo + 1:src_hi + 1]
+        else:
+            t_next[k, d0:d0 + src_hi - src_lo] = t_ext[src_lo:src_hi]
         core_start = b * plan.core
         core_end = min(core_start + plan.core, n)
         bounds[k, 0] = t_ext[core_start] if core_start < len(t_ext) else np.inf
@@ -210,11 +215,14 @@ def stage_blocks(re, im, t_ext, plan: BlockPlan, b0: int, bn: int, dt):
 
 def demodulate_blocked(iq, t, fs, mode_cfg, norm_factor: Optional[float] = None,
                        plan: Optional[BlockPlan] = None,
-                       batch_blocks: int = 64) -> List[Frame]:
+                       batch_blocks: int = 64, dtype=np.float32) -> List[Frame]:
     """Demodulate a whole recording via parallel blocks; returns complete
-    frames in stream order."""
-    dt = np.dtype(np.float32) if mode_cfg.np_dtype().itemsize == 4 \
-        else mode_cfg.np_dtype()
+    frames in stream order.
+
+    Runs float32 regardless of the mode's exact-path dtype (the reference's
+    ARGOS app is double, but frame-level parity holds in f32 and TPUs have no
+    f64); pass dtype=np.float64 to match the exact path on CPU."""
+    dt = np.dtype(dtype)
     params = chain_lib.make_params(mode_cfg, fs, quirks=False)
     plan = plan or default_plan(mode_cfg, fs)
     n = len(iq)
@@ -231,7 +239,9 @@ def demodulate_blocked(iq, t, fs, mode_cfg, norm_factor: Optional[float] = None,
     frames: List[Frame] = []
     for b0 in range(0, n_blocks, batch_blocks):
         bn = min(batch_blocks, n_blocks - b0)
-        brs, bis, t_next, bounds = stage_blocks(re, im, t_ext, plan, b0, bn, dt)
+        brs, bis, t_next, bounds = stage_blocks(re, im, t_ext, plan, b0,
+                                                 bn, dt,
+                                                 shift=params.interp > 1)
         jre, jim = jnp.asarray(brs), jnp.asarray(bis)
         fest = coarse_carrier_est(jre, jim, float(fs),
                                   mode_cfg.gardner.baud / 2.0)

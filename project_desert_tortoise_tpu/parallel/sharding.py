@@ -130,7 +130,10 @@ def demodulate_sharded(iq, t, fs, mode_cfg, mesh: Mesh,
     ts = dt.type(1.0) / dt.type(fs)
     t_ext = np.concatenate([np.asarray(t, dt), [dt.type(t[-1] + ts)]])
     tn = np.zeros((C, Np), dt)
-    tn[:, :N] = t_ext[1:N + 1]
+    if params.interp > 1:
+        tn[:, :N] = t_ext[1:N + 1]
+    else:
+        tn[:, :N] = t_ext[:N]
     if norm_factor is None:
         norm_factor = agc_ops.static_gain(
             iq[0, :min(N, mode_cfg.chunk_size)], mode_cfg.static_gain_level, dt)
