@@ -84,6 +84,9 @@ def make_params(mode_cfg, fs: float, quirks: bool = True) -> ChainParams:
     )
 
 
+TAIL_MARGIN = 16  # carried interp-domain samples for chunk-invariant mode
+
+
 def max_symbols(cap_interp: int, step_size: float) -> int:
     return int(cap_interp / step_size * 1.05) + 8
 
@@ -143,15 +146,41 @@ def chunk_step(params: ChainParams, state: ChainState, iq_re, iq_im,
         assert interp == 1, "after_agc squelch requires interp == 1"
         y = agc_ops.squelch(y, locksig, params.squelch_threshold)
 
-    # persistent buffer images (C heap semantics; see ops/clock.py)
-    x_img = jax.lax.dynamic_update_slice_in_dim(state.x_img, y, 0, axis=-1)
-    t_img = jax.lax.dynamic_update_slice_in_dim(state.t_img, t_out, 0, axis=-1)
-
     n_i = n * interp
-    msyms = max_symbols(cap_i, params.step_size)
-    gardner_state, syms, sym_times, sym_valid, sym_count = clock_ops.gardner_scan(
-        state.gardner, x_img, t_img, n_i, params.step_size,
-        params.gardner_err_limit, params.gardner_gain, msyms)
+    if params.quirks:
+        # persistent buffer images (C heap semantics; see ops/clock.py): the
+        # carried mid-bit pointer is NOT rolled over and reads the new
+        # chunk's buffer image at its stale absolute index
+        x_img = jax.lax.dynamic_update_slice_in_dim(state.x_img, y, 0, axis=-1)
+        t_img = jax.lax.dynamic_update_slice_in_dim(state.t_img, t_out, 0,
+                                                    axis=-1)
+        msyms = max_symbols(cap_i, params.step_size)
+        gardner_state, syms, sym_times, sym_valid, sym_count = \
+            clock_ops.gardner_scan(
+                state.gardner, x_img, t_img, n_i, params.step_size,
+                params.gardner_err_limit, params.gardner_gain, msyms)
+    else:
+        # chunk-size-invariant streaming: carry a small tail of the previous
+        # chunk so the pending mid-bit read resolves to the true stream
+        # sample (fixing the reference's chunk-boundary bug,
+        # changelog.txt:9,107).  Work in margin-offset coordinates.
+        m = TAIL_MARGIN
+        x_ext = jnp.concatenate([state.x_img[..., -m:], y], axis=-1)
+        t_ext2 = jnp.concatenate([state.t_img[..., -m:], t_out], axis=-1)
+        g_in = state.gardner._replace(
+            next_sample=state.gardner.next_sample + m,
+            half_raw=state.gardner.half_raw + m)
+        msyms = max_symbols(cap_i, params.step_size)
+        gardner_state, syms, sym_times, sym_valid, sym_count = \
+            clock_ops.gardner_scan(
+                g_in, x_ext, t_ext2, m + n_i, params.step_size,
+                params.gardner_err_limit, params.gardner_gain, msyms)
+        # gardner_scan subtracted (m + n_i) from next_sample; bring half_raw
+        # into the same next-chunk-relative coordinates
+        gardner_state = gardner_state._replace(
+            half_raw=gardner_state.half_raw - (m + n_i))
+        x_img = x_ext
+        t_img = t_ext2
 
     man_state, bits, bit_times, bit_mask = man_ops.manchester_scan(
         state.manchester, syms, sym_times, sym_valid, params.resync_threshold)
