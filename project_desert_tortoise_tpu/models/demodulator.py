@@ -47,8 +47,16 @@ def quality_db_from_avg_phase(avg_phase: float) -> float:
 
 
 class DemodSession:
+    """One demod stream.  Optional failure recovery: `reacquire_after_s`
+    arms a watchdog that, when the quality figure stays below
+    `reacquire_quality_db` for that long while nominally locked, resets the
+    PLL to acquisition (sweep restart) — the reference's "unlock/reset PLL on
+    prolonged low quality" idea (changelog.txt:23) made real."""
+
     def __init__(self, mode_cfg, fs: float, chunk_size: Optional[int] = None,
-                 norm_factor: Optional[float] = None, quirks: bool = True):
+                 norm_factor: Optional[float] = None, quirks: bool = True,
+                 reacquire_after_s: Optional[float] = None,
+                 reacquire_quality_db: float = -20.0):
         self.cfg = mode_cfg
         self.fs = float(fs)
         self.chunk_size = int(chunk_size or mode_cfg.chunk_size)
@@ -63,6 +71,10 @@ class DemodSession:
         self.avg_phase = float(np.pi / 2.0)
         self.lock_freq_hz: Optional[float] = None
         self._was_locked = False
+        self.reacquire_after_s = reacquire_after_s
+        self.reacquire_quality_db = reacquire_quality_db
+        self.reacquisitions = 0
+        self._low_quality_samples = 0
 
     def _ensure_state(self, first_chunk_iq):
         if self.state is not None:
@@ -98,7 +110,25 @@ class DemodSession:
             self._was_locked = True
             self.lock_freq_hz = float(
                 np.asarray(self.state.pll.freq) * self.fs / (2 * np.pi))
+        self._maybe_reacquire(locked, len(re))
         return self.framer.process(bits_c, times_c)
+
+    def _maybe_reacquire(self, locked: bool, n_samples: int):
+        """Failure recovery: restart acquisition after prolonged low quality."""
+        if self.reacquire_after_s is None or not locked:
+            self._low_quality_samples = 0
+            return
+        if quality_db_from_avg_phase(self.avg_phase) < self.reacquire_quality_db:
+            self._low_quality_samples += n_samples
+        else:
+            self._low_quality_samples = 0
+        if self._low_quality_samples >= self.reacquire_after_s * self.fs:
+            from project_desert_tortoise_tpu.ops import pll as pll_ops
+            fresh = pll_ops.init_state(self.params.pll, self.dtype)
+            self.state = self.state._replace(pll=fresh)
+            self._was_locked = False
+            self._low_quality_samples = 0
+            self.reacquisitions += 1
 
     def run(self, iq: np.ndarray, t: np.ndarray) -> DemodResult:
         """Process a whole recording (replicates the reference chunk loop)."""

@@ -263,3 +263,66 @@ def demodulate_blocked(iq, t, fs, mode_cfg, norm_factor: Optional[float] = None,
                                         f_data[k, j].copy(), True))
     frames.sort(key=lambda f: f.time)
     return frames
+
+
+def demodulate_many(iqs, t, fs, mode_cfg, norm_factor: Optional[float] = None,
+                    plan: Optional[BlockPlan] = None,
+                    batch_blocks: int = 64, dtype=np.float32):
+    """Multi-channel fast path: demodulate C recordings together.
+
+    iqs: (C, N) complex (or list of equal-length recordings); all channels'
+    blocks are staged into the same device batches, so small recordings still
+    fill the lane dimension (the serving configuration: many satellites /
+    frequencies per chip).  Returns a list of per-channel frame lists.
+    """
+    iqs = np.asarray(iqs)
+    C, n = iqs.shape
+    dt = np.dtype(dtype)
+    params = chain_lib.make_params(mode_cfg, fs, quirks=False)
+    plan = plan or default_plan(mode_cfg, fs)
+    if norm_factor is None:
+        norm_factor = agc_ops.static_gain(iqs[0, :min(n, mode_cfg.chunk_size)],
+                                          mode_cfg.static_gain_level, dt)
+    ts = dt.type(1.0) / dt.type(fs)
+    t_ext = np.concatenate([np.asarray(t, dt), [dt.type(t[-1] + ts)]])
+    n_blocks = max(1, -(-n // plan.core))
+    shift = params.interp > 1
+
+    # stage all (channel, block) pairs into one work list
+    work = [(c, b) for c in range(C) for b in range(n_blocks)]
+    res = [[] for _ in range(C)]
+    for w0 in range(0, len(work), batch_blocks):
+        batch = work[w0:w0 + batch_blocks]
+        bn = len(batch)
+        brs = np.zeros((bn, plan.total), dt)
+        bis = np.zeros((bn, plan.total), dt)
+        tns = np.zeros((bn, plan.total), dt)
+        bounds = np.zeros((bn, 2))
+        for k, (c, b) in enumerate(batch):
+            re = np.real(iqs[c]).astype(dt)
+            im = np.imag(iqs[c]).astype(dt)
+            r1, i1, t1, bd = stage_blocks(re, im, t_ext, plan, b, 1, dt,
+                                          shift=shift)
+            brs[k], bis[k], tns[k], bounds[k] = r1[0], i1[0], t1[0], bd[0]
+        jre, jim = jnp.asarray(brs), jnp.asarray(bis)
+        fest = coarse_carrier_est(jre, jim, float(fs),
+                                  mode_cfg.gardner.baud / 2.0)
+        bits_c, times_c, n_bits, _ = demod_blocks(
+            params, plan.total, jre, jim, float(fs), jnp.asarray(tns),
+            fest, float(norm_factor))
+        fb = extract_frames(mode_cfg.framer, plan.max_frames, bits_c,
+                            times_c, n_bits)
+        counts = np.asarray(fb.count)
+        f_times = np.asarray(fb.times)
+        f_inv = np.asarray(fb.inverted)
+        f_data = np.asarray(fb.data)
+        for k, (c, b) in enumerate(batch):
+            lo_t, hi_t = bounds[k]
+            for j in range(int(counts[k])):
+                tt = float(f_times[k, j])
+                if lo_t <= tt < hi_t:
+                    res[c].append(Frame(tt, bool(f_inv[k, j]),
+                                        f_data[k, j].copy(), True))
+    for frames in res:
+        frames.sort(key=lambda f: f.time)
+    return res
