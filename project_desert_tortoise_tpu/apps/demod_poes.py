@@ -76,6 +76,8 @@ def run(argv=None, default_mode="poes_tip", prefix="minorFrames"):
     sess = DemodSession(mode, fs, chunk_size=args.chunk_size or None,
                         norm_factor=args.norm_factor or None,
                         quirks=not args.no_quirks)
+    raw_f = open("output.raw", "wb") if args.raw_taps else None
+    sess.raw_tap = raw_f
     if sess.norm_factor is None and len(iq):
         pass  # computed from first chunk inside the session
     with O.FrameWriter(out_path) as w:
@@ -100,6 +102,8 @@ def run(argv=None, default_mode="poes_tip", prefix="minorFrames"):
         sys.stderr.write("\n")
         if sess.lock_freq_hz is not None:
             print(f"PLL locked at {sess.lock_freq_hz:.2f}Hz")
+    if raw_f is not None:
+        raw_f.close()
     print(f"That took {time.time()-t0:.2f} seconds!")
     return 0
 

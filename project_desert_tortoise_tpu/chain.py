@@ -115,6 +115,9 @@ class ChunkOutput(NamedTuple):
     sym_count: jnp.ndarray
     locksig: jnp.ndarray        # (..., n) lock-detector stream
     avg_phase: jnp.ndarray      # per-chunk-end quality EWMA
+    agc_stream: jnp.ndarray     # (..., n*interp) post-AGC soft stream (-r tap)
+    syms: jnp.ndarray           # (..., max_syms) recovered soft symbols
+    sym_valid: jnp.ndarray      # (..., max_syms) validity mask
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -202,5 +205,6 @@ def chunk_step(params: ChainParams, state: ChainState, iq_re, iq_im,
                            x_img=x_img, t_img=t_img)
     out = ChunkOutput(bits=bits, bit_times=bit_times, bit_mask=bit_mask,
                       sym_count=sym_count, locksig=locksig,
-                      avg_phase=pll_state.avg_phase)
+                      avg_phase=pll_state.avg_phase, agc_stream=y,
+                      syms=syms, sym_valid=sym_valid)
     return new_state, out

@@ -16,7 +16,13 @@ def enable_x64():
     jax.config.update("jax_enable_x64", True)
 
 
-def demodulate(path: str, **kw) -> DemodResult:
+def demodulate(path: str, annotate_quality: bool = True,
+               **kw) -> DemodResult:
+    """Demodulate an ARGOS recording; packets carry quality/SNR annotations
+    (closing the reference's README.md:42 TODO) unless disabled."""
     if ARGOS.np_dtype().itemsize == 8 and not jax.config.jax_enable_x64:
         enable_x64()
-    return demodulate_wav(path, ARGOS, **kw)
+    from project_desert_tortoise_tpu.utils import wav as W
+    iq, t, fs, _ = W.load_iq_wav(path, ARGOS.np_dtype())
+    sess = DemodSession(ARGOS, fs, annotate_quality=annotate_quality, **kw)
+    return sess.run(iq, t)

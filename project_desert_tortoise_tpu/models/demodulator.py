@@ -56,7 +56,8 @@ class DemodSession:
     def __init__(self, mode_cfg, fs: float, chunk_size: Optional[int] = None,
                  norm_factor: Optional[float] = None, quirks: bool = True,
                  reacquire_after_s: Optional[float] = None,
-                 reacquire_quality_db: float = -20.0):
+                 reacquire_quality_db: float = -20.0,
+                 annotate_quality: bool = False):
         self.cfg = mode_cfg
         self.fs = float(fs)
         self.chunk_size = int(chunk_size or mode_cfg.chunk_size)
@@ -75,6 +76,10 @@ class DemodSession:
         self.reacquire_quality_db = reacquire_quality_db
         self.reacquisitions = 0
         self._low_quality_samples = 0
+        self.raw_tap = None          # optional file object for -r dumps
+        self.annotate_quality = annotate_quality
+        self.snr_db = float("nan")
+        self._snr_window = np.zeros(0)
 
     def _ensure_state(self, first_chunk_iq):
         if self.state is not None:
@@ -105,13 +110,33 @@ class DemodSession:
         self.total_symbols += int(out.sym_count)
         self.total_bits += len(bits_c)
         self.avg_phase = float(out.avg_phase)
+        if self.raw_tap is not None:
+            # post-AGC soft stream, like the reference's -r debug dump
+            # (ARGOSdemod/main.c:273)
+            np.asarray(out.agc_stream).astype(self.dtype).tofile(self.raw_tap)
         locked = bool(np.asarray(self.state.pll.locked))
         if locked and not self._was_locked:
             self._was_locked = True
             self.lock_freq_hz = float(
                 np.asarray(self.state.pll.freq) * self.fs / (2 * np.pi))
         self._maybe_reacquire(locked, len(re))
-        return self.framer.process(bits_c, times_c)
+        new_frames = self.framer.process(bits_c, times_c)
+        if self.annotate_quality:
+            # per-packet quality/SNR annotation ("Append Quality/SNR for
+            # triangulation", reference README.md:42 TODO)
+            from project_desert_tortoise_tpu.utils import metrics as _metrics
+            # estimate at the Gardner decision points (soft symbols) over a
+            # rolling window, skipping squelched symbols
+            syms = np.asarray(out.syms, np.float64)[np.asarray(out.sym_valid)]
+            syms = syms[syms != 0.0]
+            self._snr_window = np.concatenate([self._snr_window, syms])[-512:]
+            if len(self._snr_window) >= 128:
+                self.snr_db = _metrics.m2m4_snr_db(self._snr_window)
+            q = quality_db_from_avg_phase(self.avg_phase)
+            for f in new_frames:
+                f.quality_db = q
+                f.snr_db = self.snr_db
+        return new_frames
 
     def _maybe_reacquire(self, locked: bool, n_samples: int):
         """Failure recovery: restart acquisition after prolonged low quality."""

@@ -31,13 +31,19 @@ class Frame:
     inverted: bool
     data: np.ndarray          # uint8 payload including prefix bytes
     complete: bool = True
+    quality_db: float = None  # PLL quality at emission (optional annotation)
+    snr_db: float = None      # M2M4 SNR at emission (closes README.md:42 TODO)
 
-    def hex_line(self, time_decimals: int = 5) -> str:
+    def hex_line(self, time_decimals: int = 5,
+                 with_quality: bool = False) -> str:
         ts = f"{self.time:.{time_decimals}f}"
         if self.inverted:
             ts += "i"
         body = " ".join(f"{b:02X}" for b in self.data)
-        return f"{ts} {body}"
+        line = f"{ts} {body}"
+        if with_quality and self.quality_db is not None:
+            line += f" | q={self.quality_db:.1f}dB snr={self.snr_db:.1f}dB"
+        return line
 
 
 class StreamFramer:

@@ -25,9 +25,11 @@ def default_output_name(prefix: str, when: Optional[time_mod.struct_time] = None
 class FrameWriter:
     """Streaming writer; reference-compatible line format."""
 
-    def __init__(self, path: str, remove_if_empty: bool = True):
+    def __init__(self, path: str, remove_if_empty: bool = True,
+                 with_quality: bool = False):
         self.path = path
         self.remove_if_empty = remove_if_empty
+        self.with_quality = with_quality
         self.count = 0
         self._f = open(path, "w")
 
@@ -37,6 +39,10 @@ class FrameWriter:
             ts += "i"
         self._f.write(ts + " ")
         self._f.write("".join(f"{b:02X} " for b in frame.data))
+        if (self.with_quality and frame.complete
+                and frame.quality_db is not None):
+            self._f.write(f"| q={frame.quality_db:.1f}dB "
+                          f"snr={frame.snr_db:.1f}dB ")
         if frame.complete:
             self._f.write("\n")
         self.count += 1

@@ -51,6 +51,34 @@ class WavHeader:
     def duration_s(self) -> float:
         return self.overall_size / self.byterate
 
+    def describe(self) -> str:
+        """Human-readable header dump (twin of ``wave.c:9`` printHeaderInfo)."""
+        fmt = {1: "PCM", 6: "A-law", 7: "Mu-law"}.get(self.format_type, "?")
+        dur = self.duration_s
+        return "\n".join([
+            f"(1-4): {self.riff.decode(errors='replace')}",
+            f"(5-8) Overall size: bytes:{self.overall_size}, "
+            f"Kb:{self.overall_size // 1024}",
+            f"(21-22) Format type: {self.format_type} {fmt}",
+            f"(23-24) Channels: {self.channels}",
+            f"(25-28) Sample rate: {self.sample_rate}",
+            f"(29-32) Byte Rate: {self.byterate}, Bit Rate:{self.byterate * 8}",
+            f"(35-36) Bits per sample: {self.bits_per_sample}",
+            f"(41-44) Size of data chunk: {self.data_size}",
+            f"Number of samples:{self.num_samples}",
+            f"Approx.Duration in seconds={dur:f}",
+            f"Approx.Duration in h:m:s={seconds_to_time(dur)}",
+        ])
+
+
+def seconds_to_time(raw_seconds: float) -> str:
+    """hh:mm:ss.ms formatting (twin of ``wave.c:386``)."""
+    hours = int(raw_seconds) // 3600
+    res = int(raw_seconds) % 3600
+    minutes, seconds = res // 60, res % 60
+    ms = int(round((raw_seconds - int(raw_seconds)) * 1000))
+    return f"{hours}:{minutes}:{seconds}.{ms}"
+
 
 def read_wav_header(raw: bytes) -> WavHeader:
     """Parse the fixed 44-byte canonical header, as ``wave.c:303`` does."""

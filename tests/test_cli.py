@@ -1,0 +1,32 @@
+"""CLI app end-to-end: demod_poes on the golden clip must reproduce the
+oracle output file; -r dumps the post-AGC stream matching the C tap."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+       "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
+
+
+def test_demod_poes_cli_matches_oracle(tmp_path, taps_dir):
+    out = tmp_path / "frames.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "project_desert_tortoise_tpu.apps.demod_poes",
+         "/root/reference/5sec_clip.wav", "--out", str(out), "-r"],
+        cwd=tmp_path, capture_output=True, text=True, timeout=500, env=ENV)
+    assert r.returncode == 0, r.stderr[-500:]
+    mine = [l.rstrip() for l in open(out) if l.strip()]
+    oracle = [l.rstrip() for l in open(f"{taps_dir}/frames.txt") if l.strip()]
+    same = sum(1 for a, b in zip(mine, oracle) if a == b)
+    assert same >= len(oracle) - 2
+
+    tap = np.fromfile(tmp_path / "output.raw", np.float32)
+    agc_c = np.fromfile(f"{taps_dir}/agc.f32", np.float32)
+    n = min(len(tap), len(agc_c))
+    assert n > 700000
+    assert np.abs(tap[:n] - agc_c[:n]).max() < 2e-3

@@ -77,3 +77,22 @@ def test_sync_spacing():
     pos = np.array([0, 832, 1664, 3000, 3832])
     n_ok, n_total = sync_spacing_report(pos)
     assert (n_ok, n_total) == (3, 4)
+
+
+def test_argos_quality_annotation(tmp_path):
+    """Packets carry quality/SNR annotations (reference README.md:42 TODO)."""
+    from project_desert_tortoise_tpu.utils.config import ARGOS
+    iq, payloads = synth.make_argos_recording(n_packets=3, fs=32000.0,
+                                              snr_db=30.0)
+    t = W.time_axis(len(iq), 32000.0, np.float64)
+    sess = DemodSession(ARGOS, 32000.0, annotate_quality=True, quirks=False)
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    try:
+        res = sess.run(iq, t)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    assert res.total_frames >= 2
+    for f in res.frames:
+        assert f.snr_db is not None and np.isfinite(f.snr_db)
+        assert "snr=" in f.hex_line(with_quality=True)
