@@ -112,10 +112,10 @@ def _plan_caps(total: int, params, interp: int):
     return n_i, max_syms, max_bits
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 8))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 8, 9))
 def demod_blocks(params: chain_lib.ChainParams, total: int,
                  blocks_re, blocks_im, fs: float, t_next, freq_est, norm_gain,
-                 window: int = 4096):
+                 window: int = 4096, use_pallas: bool = False):
     """Demodulate (B, total) sample blocks -> compressed per-block bits.
 
     t_next: (B, total) — the stage time axis: time of sample i+1 for
@@ -139,19 +139,28 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         freq=(jnp.asarray(2.0 * np.pi / fs, dt) * freq_est),
         locked=jnp.ones((B,), bool),
     )
-    pll_state, soft, locksig = pll_ops.pll_scan(params.pll, pll_state,
-                                                (blocks_re, blocks_im),
-                                                window=window)
-    if params.squelch_position == "after_pll":
-        soft = agc_ops.squelch(soft, locksig, params.squelch_threshold)
+    if use_pallas and window and B % 128 == 0:
+        from project_desert_tortoise_tpu.ops.pallas.chain_kernel import (
+            pll_fir_agc_pallas)
+        gain0 = jnp.full((B,), norm_gain, dt)
+        pll_state, _, y, locksig = pll_fir_agc_pallas(
+            params, pll_state, gain0, (blocks_re, blocks_im), window=window)
+        if params.squelch_position == "after_agc":
+            y = agc_ops.squelch(y, locksig, params.squelch_threshold)
+    else:
+        pll_state, soft, locksig = pll_ops.pll_scan(params.pll, pll_state,
+                                                    (blocks_re, blocks_im),
+                                                    window=window)
+        if params.squelch_position == "after_pll":
+            soft = agc_ops.squelch(soft, locksig, params.squelch_threshold)
 
-    y = fir_ops.fir_interp(soft, taps, interp)
-    agc_state = agc_ops.agc_init(norm_gain, dt, (B,))
-    agc_state, y = agc_ops.agc_scan(agc_state, y, params.agc_attack,
-                                    params.agc_decay,
-                                    window=window * interp if window else 0)
-    if params.squelch_position == "after_agc":
-        y = agc_ops.squelch(y, locksig, params.squelch_threshold)
+        y = fir_ops.fir_interp(soft, taps, interp)
+        agc_state = agc_ops.agc_init(norm_gain, dt, (B,))
+        agc_state, y = agc_ops.agc_scan(agc_state, y, params.agc_attack,
+                                        params.agc_decay,
+                                        window=window * interp if window else 0)
+        if params.squelch_position == "after_agc":
+            y = agc_ops.squelch(y, locksig, params.squelch_threshold)
 
     t_out = fir_ops.fir_out_times(t_next, interp) if interp > 1 else t_next
 
