@@ -41,6 +41,8 @@ def _alarm(sig, frm):
 
 
 def run_bench(batch_blocks: int, iters: int):
+    """Env overrides for tuning: PDT_BENCH_B, PDT_BENCH_WINDOW,
+    PDT_BENCH_PALLAS=1, PDT_BENCH_CORE."""
     import jax
     import jax.numpy as jnp
     from project_desert_tortoise_tpu import chain as chain_lib
@@ -52,8 +54,11 @@ def run_bench(batch_blocks: int, iters: int):
     dt = np.dtype(np.float32)
     params = chain_lib.make_params(POES_TIP, fs, quirks=False)
     # 4096-aligned plan so the VMEM-windowed scans divide evenly
-    plan = BL.BlockPlan(core=98304, head=12288, tail=8192, max_frames=32)
-    B = batch_blocks
+    core = int(os.environ.get("PDT_BENCH_CORE", 98304))
+    plan = BL.BlockPlan(core=core, head=12288, tail=8192, max_frames=64)
+    B = int(os.environ.get("PDT_BENCH_B", batch_blocks))
+    window = int(os.environ.get("PDT_BENCH_WINDOW", 4096))
+    use_pallas = os.environ.get("PDT_BENCH_PALLAS", "0") == "1"
 
     clip = os.path.join("/root/reference", "5sec_clip.wav")
     if os.path.exists(clip):
@@ -78,7 +83,7 @@ def run_bench(batch_blocks: int, iters: int):
 
     def call():
         out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                              fest, 17.58)
+                              fest, 17.58, window, use_pallas)
         return np.asarray(out[2])  # fetch n_bits -> true completion
 
     nb = call()  # compile + warm
@@ -94,7 +99,7 @@ def run_bench(batch_blocks: int, iters: int):
 
     # sanity: frames decode from the staged real data
     out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                          fest, 17.58)
+                          fest, 17.58, window, use_pallas)
     fb = BL.extract_frames(POES_TIP.framer, plan.max_frames, *out[:3])
     n_frames = int(np.asarray(fb.count).sum())
     dev = str(jax.devices()[0])
