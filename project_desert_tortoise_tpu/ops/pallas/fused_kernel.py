@@ -1,0 +1,227 @@
+"""Fully fused demod Pallas kernel: PLL -> FIR-interp -> AGC -> Gardner ->
+Manchester in ONE pass, no intermediate HBM traffic.
+
+Extends chain_kernel.py with timing recovery: the `interp` outputs of each
+input sample rotate through a small VMEM ring (values + times); a lane emits
+a symbol when its fractional pointer crosses the newest produced interp index,
+reading the on-time and mid-bit samples from the ring with an unrolled
+slot-select (the per-lane dynamic index that made the XLA path gather-bound
+becomes R compare+selects on vregs).  Manchester decodes emitted symbols in
+the same step.  Since the symbol stride (Fs*interp/baud) exceeds `interp`,
+each lane emits at most one bit per input sample, so outputs are dense
+per-sample planes with emit masks — compressed downstream exactly like the
+scan path's.
+
+Output parity with the XLA op path is exact (see tests/test_pallas_fused.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from project_desert_tortoise_tpu.ops import pll as pll_ops
+from project_desert_tortoise_tpu.ops.fastmath import sign
+from project_desert_tortoise_tpu.ops.pallas.chain_kernel import _polyphase
+
+LANES = 128
+RING = 16
+
+
+def _ring_read(ring_planes, age):
+    """age: (S,128) int32, 0 = newest; unrolled compare-select over the
+    shift-register ring."""
+    acc = jnp.zeros_like(ring_planes[0])
+    for k in range(RING):
+        acc = jnp.where(age == k, ring_planes[k], acc)
+    return acc
+
+
+def _kernel(cp, agc_params, poly, interp, window, squelch_pos,
+            re_ref, im_ref, tn_ref, st_in_ref,
+            bit_ref, btime_ref, emit_ref, st_out_ref, st_scratch):
+    (attack, decay, reference, max_gain, min_gain, squelch_thr) = agc_params
+    hist_len = len(poly[0])
+    # state plane layout
+    P0 = 0           # PLL: 6
+    H0 = 6           # FIR history: hist_len
+    G0 = H0 + hist_len            # AGC gain: 1
+    R0 = G0 + 1                   # ring values: RING
+    T0 = R0 + RING                # ring times: RING
+    GD = T0 + RING                # gardner ns, half, prev: 3
+    MA = GD + 3                   # manchester clockmod, evenodd, cur, prev, prevprev: 5
+
+    w = pl.program_id(0)
+
+    @pl.when(w == 0)
+    def _():
+        st_scratch[:] = st_in_ref[:]
+
+    def body(i, _):
+        s = st_scratch[:]
+        dt = s.dtype
+        c = lambda v: jnp.asarray(v, dt)
+        st = pll_ops.PLLState(
+            phase=s[P0], freq=s[P0 + 1], locksig=s[P0 + 2],
+            avg_phase=s[P0 + 3], sweep=s[P0 + 4], locked=s[P0 + 5] > 0.5)
+        new, (soft, lock) = pll_ops._step(cp.pll, st, re_ref[i], im_ref[i])
+        if squelch_pos == "after_pll":
+            soft = jnp.where(lock < c(squelch_thr), jnp.zeros_like(soft), soft)
+
+        hist = [soft] + [s[H0 + m] for m in range(hist_len - 1)]
+        gain = s[G0]
+        ring_v = [s[R0 + k] for k in range(RING)]
+        ring_t = [s[T0 + k] for k in range(RING)]
+        tval_in = tn_ref[i]
+
+        # ring is a shift register, entry k = interp output at age k
+        # (0 = newest); produce this sample's `interp` outputs newest-first
+        j_base = (w * window + i) * interp
+        produced = []
+        for p in range(interp):
+            y = jnp.zeros_like(soft)
+            for m in range(hist_len):
+                y = y + c(poly[p][m]) * hist[m]
+            y = y * gain
+            error = jnp.abs(y) - c(reference)
+            rate = jnp.where(jnp.abs(error) > gain, c(attack), c(decay))
+            gain = gain - error * rate
+            gain = jnp.where(gain < 0.0, c(min_gain), gain)
+            gain = jnp.where(gain > c(max_gain), c(max_gain), gain)
+            if squelch_pos == "after_agc":
+                y = jnp.where(lock < c(squelch_thr), jnp.zeros_like(y), y)
+            produced.append(y)
+        ring_v = produced[::-1] + ring_v[:RING - interp]
+        ring_t = [tval_in] * interp + ring_t[:RING - interp]
+
+        # --- Gardner: emit at most one symbol this input sample ---
+        ns, half_raw, prev_bit = s[GD], s[GD + 1], s[GD + 2]
+        j_hi = j_base + interp - 1
+        target = jnp.round(ns)
+        emit_sym = target <= j_hi
+        tgt_i = jnp.maximum(target.astype(jnp.int32), 0)
+        age = jnp.clip(j_hi - tgt_i, 0, RING - 1)
+        cur = _ring_read(ring_v, age)
+        sym_t = _ring_read(ring_t, age)
+        hidx = jnp.round(half_raw).astype(jnp.int32)
+        hage = j_hi - hidx
+        h_in_ring = (hidx >= 0) & (hage >= 0) & (hage < RING)
+        hval = jnp.where(h_in_ring,
+                         _ring_read(ring_v, jnp.clip(hage, 0, RING - 1)),
+                         jnp.zeros_like(cur))
+
+        err = jnp.clip(c(cp.gardner_gain) * (cur - prev_bit) * hval,
+                       c(-cp.gardner_err_limit), c(cp.gardner_err_limit))
+        ns_adj = ns - err
+        half_new = ns_adj + c(cp.step_size) / 2.0
+        ns_new = ns_adj + c(cp.step_size)
+        ns = jnp.where(emit_sym, ns_new, ns)
+        half_raw = jnp.where(emit_sym, half_new, half_raw)
+        prev_bit = jnp.where(emit_sym, cur, prev_bit)
+
+        # --- Manchester on the emitted symbol ---
+        clockmod, evenodd = s[MA], s[MA + 1]
+        mcur, mprev, mprevprev = s[MA + 2], s[MA + 3], s[MA + 4]
+        prevprev = mprev
+        prev = mcur
+        thr = c(cp.resync_threshold)
+        mismatch = evenodd != clockmod
+        strong = (jnp.abs(prevprev) > thr) & (jnp.abs(prev) > thr)
+        resync = mismatch & (sign(prevprev) == sign(prev)) & strong
+        clockmod_n = jnp.where(resync, evenodd, clockmod)
+        boundary = evenodd == clockmod_n
+        use_prev = jnp.abs(prev) > jnp.abs(cur)
+        bit = jnp.where(use_prev, (prev > 0).astype(dt),
+                        1.0 - (cur > 0).astype(dt))
+        emit_bit = emit_sym & boundary
+
+        bit_ref[i] = bit
+        btime_ref[i] = sym_t
+        emit_ref[i] = emit_bit.astype(dt)
+
+        clockmod = jnp.where(emit_sym, clockmod_n, clockmod)
+        evenodd = jnp.where(emit_sym,
+                            jnp.remainder(evenodd + 1.0, 2.0), evenodd)
+        mcur = jnp.where(emit_sym, cur, mcur)
+        mprev = jnp.where(emit_sym, prev, mprev)
+        mprevprev = jnp.where(emit_sym, prevprev, mprevprev)
+
+        st_scratch[:] = jnp.stack(
+            [new.phase, new.freq, new.locksig, new.avg_phase, new.sweep,
+             new.locked.astype(dt)] + hist + [gain] + ring_v + ring_t
+            + [ns, half_raw, prev_bit]
+            + [clockmod, evenodd, mcur, mprev, mprevprev])
+        return 0
+
+    jax.lax.fori_loop(0, window, body, 0)
+
+    @pl.when(w == pl.num_programs(0) - 1)
+    def _():
+        st_out_ref[:] = st_scratch[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chain_params", "window", "interpret"))
+def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
+                       window: int = 512, interpret: bool = False):
+    """Full chain on (B, L) blocks; B % 128 == 0, L % window == 0.
+
+    t_next: (B, L) stage time axis (see blocked.demod_blocks).
+    Returns (bits (B, L) float 0/1, bit_times (B, L), emit_mask (B, L) bool,
+    avg_phase (B,)).  At most one bit per input sample per lane.
+    """
+    zre, zim = z
+    B, L = zre.shape
+    assert B % LANES == 0 and L % window == 0, (B, L, window)
+    S = B // LANES
+    dt = zre.dtype
+    interp = chain_params.interp
+    poly = tuple(tuple(r) for r in _polyphase(chain_params.taps, interp))
+    hist_len = len(poly[0])
+    n_state = 6 + hist_len + 1 + 2 * RING + 3 + 5
+
+    agc_params = (chain_params.agc_attack, chain_params.agc_decay,
+                  1.0, 5000.0, 10e-5, chain_params.squelch_threshold or 0.0)
+
+    def to_tiles(a):
+        return jnp.moveaxis(a.reshape(S, LANES, L), -1, 0)
+
+    st_in = jnp.concatenate([
+        jnp.stack([pll_state.phase, pll_state.freq, pll_state.locksig,
+                   pll_state.avg_phase, pll_state.sweep,
+                   pll_state.locked.astype(dt)]),
+        jnp.zeros((hist_len + 1 + 2 * RING + 3 + 5, B), dt)
+        .at[hist_len].set(agc_gain.astype(dt)),
+    ]).reshape(n_state, S, LANES)
+
+    grid = (L // window,)
+    spec_w = pl.BlockSpec((window, S, LANES), lambda w: (w, 0, 0))
+    spec_s = pl.BlockSpec((n_state, S, LANES), lambda w: (0, 0, 0))
+    bits, btimes, emit, st_out = pl.pallas_call(
+        functools.partial(_kernel, chain_params, agc_params, poly, interp,
+                          window, chain_params.squelch_position),
+        grid=grid,
+        in_specs=[spec_w, spec_w, spec_w, spec_s],
+        out_specs=[spec_w, spec_w, spec_w, spec_s],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, S, LANES), dt),
+            jax.ShapeDtypeStruct((L, S, LANES), dt),
+            jax.ShapeDtypeStruct((L, S, LANES), dt),
+            jax.ShapeDtypeStruct((n_state, S, LANES), dt),
+        ],
+        scratch_shapes=[pltpu.VMEM((n_state, S, LANES), dt)],
+        interpret=interpret,
+    )(to_tiles(zre), to_tiles(zim), to_tiles(t_next), st_in)
+
+    def from_tiles(a):
+        return jnp.moveaxis(a, 0, -1).reshape(B, L)
+
+    so = st_out.reshape(n_state, B)
+    avg_phase = so[3]
+    return (from_tiles(bits), from_tiles(btimes),
+            from_tiles(emit) > 0.5, avg_phase)

@@ -115,7 +115,7 @@ def _plan_caps(total: int, params, interp: int):
 @functools.partial(jax.jit, static_argnums=(0, 1, 4, 8, 9))
 def demod_blocks(params: chain_lib.ChainParams, total: int,
                  blocks_re, blocks_im, fs: float, t_next, freq_est, norm_gain,
-                 window: int = 4096, use_pallas: bool = False):
+                 window: int = 4096, use_pallas=False):
     """Demodulate (B, total) sample blocks -> compressed per-block bits.
 
     t_next: (B, total) — the stage time axis: time of sample i+1 for
@@ -124,6 +124,9 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
     freq_est: (B,) coarse carrier estimate in Hz.
     window: VMEM chunk size for the nested scans (total % window == 0 when
     set; 0 = monolithic scans, only sensible for small blocks).
+    use_pallas: False = XLA windowed scans; "front" (or True) = fused
+    PLL+FIR+AGC Pallas kernel + XLA timing recovery; "fused" = the whole
+    chain in one Pallas kernel.
     Returns (bits, bit_times, n_bits, avg_phase).
     """
     dt = blocks_re.dtype
@@ -139,6 +142,18 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         freq=(jnp.asarray(2.0 * np.pi / fs, dt) * freq_est),
         locked=jnp.ones((B,), bool),
     )
+    if use_pallas == "fused" and window and B % 128 == 0:
+        from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
+            fused_demod_pallas)
+        gain0 = jnp.full((B,), norm_gain, dt)
+        bits_f, btimes_f, emit_f, avg_phase = fused_demod_pallas(
+            params, pll_state, gain0, (blocks_re, blocks_im), t_next,
+            window=min(window, 512))
+        max_bits = total // 4 + 8
+        bits_c, times_c, n_bits = man_ops.compress_stream(
+            bits_f.astype(jnp.uint8), btimes_f, emit_f, max_bits)
+        return bits_c, times_c, n_bits, avg_phase
+
     if use_pallas and window and B % 128 == 0:
         from project_desert_tortoise_tpu.ops.pallas.chain_kernel import (
             pll_fir_agc_pallas)

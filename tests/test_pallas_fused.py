@@ -1,0 +1,53 @@
+"""Fully fused demod kernel: exact bit/time parity with the XLA op path, and
+frame-level parity via demod_blocks(use_pallas='fused') on synthetic data."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from project_desert_tortoise_tpu import chain as chain_lib
+from project_desert_tortoise_tpu.ops import agc as A, clock as C, fir as F
+from project_desert_tortoise_tpu.ops import manchester as M, pll as P
+from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
+    fused_demod_pallas)
+from project_desert_tortoise_tpu.utils.config import POES_TIP
+
+
+def test_fused_matches_xla_all_lanes():
+    fs = 50000.0
+    params = chain_lib.make_params(POES_TIP, fs, quirks=False)
+    B, L = 128, 2048
+    rng = np.random.default_rng(0)
+    sym = rng.choice([-1.0, 1.0], size=(B, L // 3 + 9))
+    base = np.repeat(sym, 3, axis=1)[:, :L]
+    re = jnp.asarray((base * 0.01
+                      + 0.002 * rng.standard_normal((B, L))).astype(np.float32))
+    im = jnp.asarray((0.002 * rng.standard_normal((B, L))).astype(np.float32))
+    tn = jnp.asarray(np.tile(np.arange(1, L + 1, dtype=np.float32) / fs,
+                             (B, 1)))
+    pst = P.init_state(params.pll, jnp.float32, (B,))
+    gain0 = jnp.full((B,), 17.58, jnp.float32)
+
+    _, soft, _ = P.pll_scan(params.pll, pst, (re, im))
+    taps = np.asarray(params.taps, np.float32)
+    y = F.fir_interp(soft, taps, params.interp)
+    _, y1 = A.agc_scan(A.AGCState(gain=gain0), y, params.agc_attack,
+                       params.agc_decay)
+    t_out = F.fir_out_times(tn, params.interp)
+    g0 = C.gardner_init(jnp.float32, (B,))
+    m0 = M.manchester_init(jnp.float32, (B,))
+    _, _, bits1, bt1, em1 = C.gardner_manchester_windowed(
+        g0, m0, y1, t_out, jnp.full((B,), L * params.interp),
+        params.step_size, params.gardner_err_limit, params.gardner_gain,
+        params.resync_threshold, window=1024 * 3)
+
+    bits2, bt2, em2, avgp = fused_demod_pallas(
+        params, pst, gain0, (re, im), tn, window=512, interpret=True)
+
+    for k in range(B):
+        a = np.asarray(bits1[k])[np.asarray(em1[k])]
+        ta = np.asarray(bt1[k])[np.asarray(em1[k])]
+        b = np.asarray(bits2[k])[np.asarray(em2[k])]
+        tb = np.asarray(bt2[k])[np.asarray(em2[k])]
+        assert len(a) == len(b)
+        assert np.array_equal(a, b.astype(np.uint8))
+        assert np.array_equal(ta, tb)
