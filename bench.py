@@ -58,7 +58,9 @@ def run_bench(batch_blocks: int, iters: int):
     plan = BL.BlockPlan(core=core, head=12288, tail=8192, max_frames=64)
     B = int(os.environ.get("PDT_BENCH_B", batch_blocks))
     window = int(os.environ.get("PDT_BENCH_WINDOW", 4096))
-    use_pallas = os.environ.get("PDT_BENCH_PALLAS", "0") == "1"
+    up = os.environ.get("PDT_BENCH_PALLAS", "0")
+    use_pallas = {"0": False, "1": "front", "front": "front",
+                  "fused": "fused"}.get(up, False)
 
     clip = os.path.join("/root/reference", "5sec_clip.wav")
     if os.path.exists(clip):
