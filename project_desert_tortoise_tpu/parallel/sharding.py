@@ -54,7 +54,7 @@ def _halo_exchange(x, head: int, tail: int, axis_name: str):
 
 
 def sharded_demod_step(params: chain_lib.ChainParams, plan, framer_cfg,
-                       mesh: Mesh, fs: float):
+                       mesh: Mesh, fs: float, use_pallas=False):
     """Returns a jitted function: (re, im, t_next, norm) sharded over
     (ch, blk) -> per-shard FrameBatch pytree.
 
@@ -85,7 +85,8 @@ def sharded_demod_step(params: chain_lib.ChainParams, plan, framer_cfg,
         bre, bim, btn = cut(re_h), cut(im_h), cut(tn_h)
         fest = blocked_lib.coarse_carrier_est(bre, bim, fs, bit_rate)
         bits_c, times_c, n_bits, avgp = blocked_lib.demod_blocks(
-            params, total, bre, bim, fs, btn, fest, norm[0, 0])
+            params, total, bre, bim, fs, btn, fest, norm[0, 0],
+            4096, use_pallas)
         fb = blocked_lib.extract_frames(framer_cfg, plan.max_frames,
                                         bits_c, times_c, n_bits)
         # reshape frame outputs back to (C_loc, B_loc, ...)
@@ -104,7 +105,7 @@ def sharded_demod_step(params: chain_lib.ChainParams, plan, framer_cfg,
 
 def demodulate_sharded(iq, t, fs, mode_cfg, mesh: Mesh,
                        norm_factor: Optional[float] = None,
-                       plan=None):
+                       plan=None, use_pallas=False):
     """Multi-channel, multi-shard demodulation of (C, N) recordings.
 
     iq: (C, N) complex, t: (N,) time axis (shared across channels).
@@ -140,7 +141,8 @@ def demodulate_sharded(iq, t, fs, mode_cfg, mesh: Mesh,
     norm = np.full((1, 1), norm_factor, dt)
 
     sh = NamedSharding(mesh, P("ch", "blk"))
-    step = sharded_demod_step(params, plan, mode_cfg.framer, mesh, float(fs))
+    step = sharded_demod_step(params, plan, mode_cfg.framer, mesh, float(fs),
+                              use_pallas)
     fb = step(jax.device_put(re, sh), jax.device_put(im, sh),
               jax.device_put(tn, sh), jax.device_put(norm, NamedSharding(mesh, P(None, None))))
 

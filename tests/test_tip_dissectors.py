@@ -114,3 +114,24 @@ def test_analog_subcom_shapes(golden_mf):
     frames, times = golden_mf
     an = tip.analog_subcom(frames, times)
     assert set(an) == {"STX1", "STX2", "STX3", "SARR_A", "SARR_B"}
+
+
+def test_telemetry_explorer_cli(tmp_path, taps_dir):
+    import subprocess
+    import sys
+    import os
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": os.path.dirname(os.path.dirname(
+               os.path.abspath(__file__)))}
+    out = tmp_path / "products"
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "project_desert_tortoise_tpu.apps.telemetry_explorer",
+         f"{taps_dir}/frames.txt", "--outdir", str(out)],
+        capture_output=True, text=True, timeout=300, env=env)
+    assert r.returncode == 0, r.stderr[-400:]
+    assert (out / "summary.txt").exists()
+    assert "47 out of 47 Error Free Frames" in (out / "summary.txt").read_text()
+    assert (out / "DCS_RAW.txt").exists()
+    assert (out / "HIRS1.png").read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+    assert (out / "SEM_MEPED.txt").exists()
