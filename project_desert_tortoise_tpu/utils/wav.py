@@ -81,13 +81,37 @@ def seconds_to_time(raw_seconds: float) -> str:
 
 
 def read_wav_header(raw: bytes) -> WavHeader:
-    """Parse the fixed 44-byte canonical header, as ``wave.c:303`` does."""
+    """Parse the fixed 44-byte canonical header, as ``wave.c:303`` does.
+
+    Returns (header, data_offset) semantics via `data_offset_of`: the
+    reference assumes the data chunk starts at byte 44; real SDR recorders
+    often insert LIST/fact chunks, so `load_iq_wav` walks chunks when the
+    canonical layout doesn't hold.
+    """
     if len(raw) < 44:
         raise ValueError("file shorter than a canonical RIFF header")
     (riff, overall, wave, fmtm, lfmt, ftype, ch, rate, brate, balign, bps,
      datam, dsize) = struct.unpack("<4sI4s4sIHHIIHH4sI", raw[:44])
     return WavHeader(riff, overall, wave, fmtm, lfmt, ftype, ch, rate, brate,
                      balign, bps, datam, dsize)
+
+
+def data_offset_of(raw: bytes, header: WavHeader) -> int:
+    """Byte offset of IQ data.  Canonical files: 44 (what the reference
+    assumes).  Otherwise walk RIFF chunks to the 'data' chunk and patch
+    `header.data_size` accordingly."""
+    if header.data_marker == b"data":
+        return 44
+    pos = 12
+    while pos + 8 <= len(raw):
+        tag = raw[pos:pos + 4]
+        (size,) = struct.unpack("<I", raw[pos + 4:pos + 8])
+        if tag == b"data":
+            header.data_marker = b"data"
+            header.data_size = size
+            return pos + 8
+        pos += 8 + size + (size & 1)
+    raise ValueError("no 'data' chunk found in RIFF file")
 
 
 def _pcm_to_float(data: np.ndarray, bits: int, dtype) -> np.ndarray:
@@ -130,7 +154,7 @@ def load_iq_wav(path: str, dtype=np.float32, sample_rate_override: float = 0.0):
     if sample_rate_override > 1:
         header.sample_rate = int(sample_rate_override)
     bytes_per_frame = header.channels * header.bits_per_sample // 8
-    body = raw[44:]
+    body = raw[data_offset_of(raw, header):]
     n = len(body) // bytes_per_frame
     data = np.frombuffer(body, np.uint8, count=n * bytes_per_frame)
     data = data.reshape(n, 2, header.bits_per_sample // 8)

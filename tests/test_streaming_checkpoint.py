@@ -80,3 +80,34 @@ def test_checkpoint_resume_equals_continuous(tmp_path):
         len(frames_a) + len(frames_b):]]
     want = [f.hex_line() for f in cont.framer.frames]
     assert got == want
+
+
+def test_realtime_mode_squelch_chain():
+    """POES realtime mode (squelch after PLL, fixed interp 3) decodes synth."""
+    from project_desert_tortoise_tpu.utils.config import POES_TIP_REALTIME
+    fs = 48000.0
+    iq, sent = synth.make_poes_recording(n_frames=6, fs=fs,
+                                         carrier_hz=-2000.0, snr_db=28.0)
+    t = W.time_axis(len(iq), fs, np.float32)
+    res = DemodSession(POES_TIP_REALTIME, fs, quirks=False).run(iq, t)
+    sent_set = {f.tobytes() for f in sent}
+    ok = sum(1 for f in res.frames
+             if f.complete and np.asarray(f.data, np.uint8).tobytes() in sent_set)
+    assert ok >= 3
+
+
+def test_argos_realtime_inverse_sync():
+    """ARGOS realtime framer accepts phase-inverted packets (ByteSync.c:112
+    in the PortAudio variant enables the inverse sync word)."""
+    from project_desert_tortoise_tpu.utils.config import ARGOS_REALTIME
+    fs = 32000.0
+    iq, payloads = synth.make_argos_recording(n_packets=3, fs=fs,
+                                              snr_db=30.0, rng=np.random.default_rng(11))
+    t = W.time_axis(len(iq), fs, np.float32)
+    res = DemodSession(ARGOS_REALTIME, fs, quirks=False).run(iq, t)
+    # per-block PLL phase is ambiguous by 180 deg; with inverse sync enabled
+    # every transmitted payload must decode one way or the other
+    sent = {p.tobytes() for p in payloads}
+    got = {np.asarray(f.data, np.uint8).tobytes() for f in res.frames
+           if f.complete}
+    assert len(sent & got) >= len(payloads) - 1

@@ -48,3 +48,23 @@ def test_raw_reader(tmp_path):
     iq, t, fs = W.load_iq_raw(p, 48000.0)
     assert np.array_equal(np.real(iq), vals[:, 0])
     assert np.array_equal(np.imag(iq), vals[:, 1])
+
+
+def test_non_canonical_wav_with_list_chunk(tmp_path):
+    """Real SDR recorders insert LIST/fact chunks; the reference breaks on
+    these (fixed 44-byte layout) — we walk RIFF chunks to the data."""
+    import struct
+    rng = np.random.default_rng(5)
+    pcm = (rng.integers(-3000, 3000, (50, 2))).astype("<i2")
+    body = pcm.tobytes()
+    lst = b"LIST" + struct.pack("<I", 10) + b"INFOhello\x00"
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + 24 + len(lst) + 8 + len(body),
+                      b"WAVE")
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 48000, 192000, 4, 16)
+    data = struct.pack("<4sI", b"data", len(body)) + body
+    p = str(tmp_path / "x.wav")
+    open(p, "wb").write(hdr + fmt + lst + data)
+    iq, t, fs, h = W.load_iq_wav(p)
+    assert fs == 48000.0
+    assert len(iq) == 50
+    assert np.allclose(np.real(iq), pcm[:, 0] / 32768.0, atol=1e-6)
