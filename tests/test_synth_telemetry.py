@@ -96,3 +96,20 @@ def test_argos_quality_annotation(tmp_path):
     for f in res.frames:
         assert f.snr_db is not None and np.isfinite(f.snr_db)
         assert "snr=" in f.hex_line(with_quality=True)
+
+
+def test_argos_platform_filter_and_report():
+    from project_desert_tortoise_tpu.ops.framer import Frame
+    from project_desert_tortoise_tpu.telemetry import argos as TA
+    mk = lambda t, data: Frame(t, False, np.asarray(data, np.uint8),
+                               True, -4.0, 12.0)
+    pkts = [mk(10.0, [251, 58, 208, 0, 1, 2, 3]),
+            mk(70.5, [251, 58, 208, 0, 1, 2, 4]),
+            mk(33.0, [9, 9, 9, 9, 0, 0, 0])]
+    mine = TA.filter_platform(pkts)
+    assert len(mine) == 2
+    groups = TA.group_by_repetition(mine)
+    assert len(groups) == 1 and len(groups[0]) == 2
+    rep = TA.packet_report(pkts)
+    assert "251-58-208-0: 2 packets" in rep
+    assert "snr=" in rep
