@@ -61,13 +61,16 @@ class BlockPlan(NamedTuple):
         return self.head + self.core + self.tail
 
 
-def default_plan(mode_cfg, fs: float, core: Optional[int] = None) -> BlockPlan:
+def default_plan(mode_cfg, fs: float, core: Optional[int] = None,
+                 align: int = 4096) -> BlockPlan:
     fr = mode_cfg.framer
     bit_rate = mode_cfg.gardner.baud / 2.0
     frame_s = (fr.payload_bits + fr.sync_len + 8) / bit_rate
-    tail = int(np.ceil(frame_s * fs)) + 256
-    head = int(0.25 * fs)              # PLL/AGC/timing settle (0.25 s)
-    core = int(core or 2.0 * fs)       # 2 s default
+    up = lambda v: -(-int(v) // align) * align
+    tail = up(np.ceil(frame_s * fs) + 256)
+    head = up(0.25 * fs)               # PLL/AGC/timing settle (>= 0.25 s)
+    core = up(core or 2.0 * fs)        # 2 s default
+    # all 4096-aligned so the VMEM-windowed scans divide plan.total evenly
     max_frames = int(np.ceil((core + tail) / fs / (fr.payload_bits / bit_rate))) + 4
     return BlockPlan(core=core, head=head, tail=tail, max_frames=max_frames)
 
