@@ -242,7 +242,8 @@ def stage_blocks(re, im, t_ext, plan: BlockPlan, b0: int, bn: int, dt,
 
 def demodulate_blocked(iq, t, fs, mode_cfg, norm_factor: Optional[float] = None,
                        plan: Optional[BlockPlan] = None,
-                       batch_blocks: int = 64, dtype=np.float32) -> List[Frame]:
+                       batch_blocks: int = 64, dtype=np.float32,
+                       window: int = 4096, use_pallas=False) -> List[Frame]:
     """Demodulate a whole recording via parallel blocks; returns complete
     frames in stream order.
 
@@ -274,7 +275,7 @@ def demodulate_blocked(iq, t, fs, mode_cfg, norm_factor: Optional[float] = None,
                                   mode_cfg.gardner.baud / 2.0)
         bits_c, times_c, n_bits, _ = demod_blocks(
             params, plan.total, jre, jim, float(fs), jnp.asarray(t_next),
-            fest, float(norm_factor))
+            fest, float(norm_factor), window, use_pallas)
         fb = extract_frames(mode_cfg.framer, plan.max_frames, bits_c,
                             times_c, n_bits)
         counts = np.asarray(fb.count)

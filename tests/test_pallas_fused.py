@@ -51,3 +51,27 @@ def test_fused_matches_xla_all_lanes():
         assert len(a) == len(b)
         assert np.array_equal(a, b.astype(np.uint8))
         assert np.array_equal(ta, tb)
+
+
+def test_fused_golden_clip_compiled(poes_clip, oracle_frames):
+    """Compiled fused kernel (CPU lowering) on the real golden clip must
+    reproduce every oracle frame byte-identically."""
+    from project_desert_tortoise_tpu.parallel.blocked import (BlockPlan,
+                                                              demodulate_blocked)
+    from project_desert_tortoise_tpu.utils import wav as W
+    iq, t, fs = poes_clip
+    plan = BlockPlan(core=8192, head=12288, tail=8192, max_frames=8)
+    iq3 = np.tile(iq, 3)   # >=128 blocks so the kernel's lane tiling engages
+    t3 = W.time_axis(len(iq3), fs, np.float32)
+    frames = demodulate_blocked(iq3, t3, fs, POES_TIP, plan=plan,
+                                batch_blocks=128, window=512,
+                                use_pallas="fused")
+    mine = {round(f.time, 5): f.hex_line() for f in frames}
+    complete = [o for o in oracle_frames if len(o[2]) == 104]
+    matched = 0
+    for ot, oinv, obytes in complete:
+        line = mine.get(round(ot, 5))
+        body = " ".join(f"{b:02X}" for b in obytes)
+        if line is not None and line.endswith(body):
+            matched += 1
+    assert matched >= len(complete) - 1
