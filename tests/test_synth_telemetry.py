@@ -113,3 +113,23 @@ def test_argos_platform_filter_and_report():
     rep = TA.packet_report(pkts)
     assert "251-58-208-0: 2 packets" in rep
     assert "snr=" in rep
+
+
+import pytest
+
+
+@pytest.mark.parametrize("fs,interp", [(96000.0, 2), (150000.0, 1),
+                                       (32000.0, 5)])
+def test_dynamic_sample_rates(fs, interp):
+    """Dynamic FIR design: interp = rint(150k/Fs) (POESTIPdemod/main.c:335);
+    the chain must decode at any input rate, including interp == 1."""
+    from project_desert_tortoise_tpu.utils.config import POES_TIP
+    assert POES_TIP.fir.interp_factor(fs) == interp
+    iq, sent = synth.make_poes_recording(n_frames=8, fs=fs,
+                                         carrier_hz=-3000.0, snr_db=28.0)
+    t = W.time_axis(len(iq), fs, np.float32)
+    res = DemodSession(POES_TIP, fs, quirks=False).run(iq, t)
+    sset = {f.tobytes() for f in sent}
+    ok = sum(1 for f in res.frames
+             if f.complete and np.asarray(f.data, np.uint8).tobytes() in sset)
+    assert ok >= 4
