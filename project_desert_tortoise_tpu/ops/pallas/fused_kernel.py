@@ -62,9 +62,14 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos,
     def _():
         st_scratch[:] = st_in_ref[:]
 
-    def body(i, _):
-        s = st_scratch[:]
-        dt = s.dtype
+    # loop state lives in the fori_loop carry (vector registers); VMEM
+    # scratch is only touched at window boundaries
+    n_state = MA + 5
+    s0 = st_scratch[:]
+
+    def body(i, carry):
+        s = carry
+        dt = s[0].dtype
         c = lambda v: jnp.asarray(v, dt)
         st = pll_ops.PLLState(
             phase=s[P0], freq=s[P0 + 1], locksig=s[P0 + 2],
@@ -151,14 +156,15 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos,
         mprev = jnp.where(emit_sym, prev, mprev)
         mprevprev = jnp.where(emit_sym, prevprev, mprevprev)
 
-        st_scratch[:] = jnp.stack(
+        return tuple(
             [new.phase, new.freq, new.locksig, new.avg_phase, new.sweep,
              new.locked.astype(dt)] + hist + [gain] + ring_v + ring_t
             + [ns, half_raw, prev_bit]
             + [clockmod, evenodd, mcur, mprev, mprevprev])
-        return 0
 
-    jax.lax.fori_loop(0, window, body, 0)
+    final = jax.lax.fori_loop(
+        0, window, body, tuple(s0[k] for k in range(n_state)))
+    st_scratch[:] = jnp.stack(list(final))
 
     @pl.when(w == pl.num_programs(0) - 1)
     def _():

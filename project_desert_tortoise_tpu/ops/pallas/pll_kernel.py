@@ -34,20 +34,21 @@ def _kernel(params, window, re_ref, im_ref, st_in_ref, out_ref, lock_ref,
     def _():
         st_scratch[:] = st_in_ref[:]
 
-    def body(i, _):
-        s = st_scratch[:]
+    s0 = st_scratch[:]
+
+    def body(i, s):
         st = pll_ops.PLLState(
             phase=s[0], freq=s[1], locksig=s[2], avg_phase=s[3],
             sweep=s[4], locked=s[5] > 0.5)
         new, (out, lock) = pll_ops._step(params, st, re_ref[i], im_ref[i])
         out_ref[i] = out
         lock_ref[i] = lock
-        st_scratch[:] = jnp.stack([
-            new.phase, new.freq, new.locksig, new.avg_phase, new.sweep,
-            new.locked.astype(out.dtype)])
-        return 0
+        return (new.phase, new.freq, new.locksig, new.avg_phase, new.sweep,
+                new.locked.astype(out.dtype))
 
-    jax.lax.fori_loop(0, window, body, 0)
+    final = jax.lax.fori_loop(0, window, body,
+                              tuple(s0[k] for k in range(6)))
+    st_scratch[:] = jnp.stack(list(final))
 
     @pl.when(w == pl.num_programs(0) - 1)
     def _():
