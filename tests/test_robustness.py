@@ -1,0 +1,87 @@
+"""Degenerate-input robustness: silence, DC, noise-only, clipping — the chain
+must stay finite and emit no false frames (or only the rare noise frame)."""
+
+import numpy as np
+import pytest
+
+from project_desert_tortoise_tpu.models.demodulator import DemodSession
+from project_desert_tortoise_tpu.parallel.blocked import (default_plan,
+                                                          demodulate_blocked)
+from project_desert_tortoise_tpu.utils import wav as W
+from project_desert_tortoise_tpu.utils.config import ARGOS_REALTIME, POES_TIP
+
+
+def _run(iq, fs=50000.0, cfg=POES_TIP):
+    t = W.time_axis(len(iq), fs, np.float32)
+    sess = DemodSession(cfg, fs, quirks=False)
+    res = sess.run(iq, t)
+    return res, sess
+
+
+def test_silence():
+    iq = np.zeros(60000, np.complex64)
+    res, sess = _run(iq)
+    assert np.isfinite(np.asarray(sess.state.pll.phase)).all()
+    assert res.total_frames == 0
+
+
+def test_dc_input():
+    iq = np.full(60000, 0.5 + 0.25j, np.complex64)
+    res, sess = _run(iq)
+    assert np.isfinite(np.asarray(sess.state.agc.gain)).all()
+    assert res.total_frames == 0
+
+
+def test_noise_only():
+    rng = np.random.default_rng(0)
+    iq = (0.01 * (rng.standard_normal(100000)
+                  + 1j * rng.standard_normal(100000))).astype(np.complex64)
+    res, _ = _run(iq)
+    assert res.total_frames <= 1  # 19-bit sync: false syncs are rare
+
+
+def test_clipped_input():
+    rng = np.random.default_rng(1)
+    iq = np.sign(rng.standard_normal(60000)) + 1j * np.sign(
+        rng.standard_normal(60000))
+    res, sess = _run(iq.astype(np.complex64))
+    assert np.isfinite(np.asarray(sess.state.pll.freq)).all()
+
+
+def test_blocked_noise_only():
+    rng = np.random.default_rng(2)
+    iq = (0.01 * (rng.standard_normal(200000)
+                  + 1j * rng.standard_normal(200000))).astype(np.complex64)
+    t = W.time_axis(len(iq), 50000.0, np.float32)
+    frames = demodulate_blocked(iq, t, 50000.0, POES_TIP,
+                                plan=default_plan(POES_TIP, 50000.0,
+                                                  core=49152))
+    assert len(frames) <= 2
+
+
+def test_argos_realtime_silence():
+    iq = np.zeros(64000, np.complex64)
+    t = W.time_axis(len(iq), 32000.0, np.float32)
+    res = DemodSession(ARGOS_REALTIME, 32000.0, quirks=False).run(iq, t)
+    assert res.total_frames == 0
+
+
+def test_tiny_input():
+    iq = np.zeros(7, np.complex64)
+    res, _ = _run(iq)
+    assert res.total_frames == 0
+
+
+def test_8bit_wav_roundtrip(tmp_path):
+    """8-bit PCM keeps the reference's raw-unsigned-byte/128 convention."""
+    import struct
+    vals = np.arange(0, 40, dtype=np.uint8).reshape(20, 2)
+    body = vals.tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(body), b"WAVE",
+                      b"fmt ", 16, 1, 2, 8000, 16000, 2, 8, b"data",
+                      len(body))
+    p = str(tmp_path / "x8.wav")
+    open(p, "wb").write(hdr + body)
+    iq, t, fs, h = W.load_iq_wav(p)
+    assert h.bits_per_sample == 8
+    assert np.allclose(np.real(iq), vals[:, 0] / 128.0)
