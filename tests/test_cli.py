@@ -30,3 +30,24 @@ def test_demod_poes_cli_matches_oracle(tmp_path, taps_dir):
     n = min(len(tap), len(agc_c))
     assert n > 700000
     assert np.abs(tap[:n] - agc_c[:n]).max() < 2e-3
+
+
+def test_demod_argos_cli_on_synth(tmp_path):
+    """ARGOS CLI end-to-end on a synthesized recording (double-precision
+    exact path via the x64 switch in the app)."""
+    import numpy as np
+    from project_desert_tortoise_tpu.utils import synth, wav as W
+    iq, payloads = synth.make_argos_recording(n_packets=3, fs=32000.0,
+                                              snr_db=30.0)
+    wav = tmp_path / "a.wav"
+    W.write_iq_wav(str(wav), iq / (np.abs(iq).max() * 1.2), 32000)
+    out = tmp_path / "packets.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "project_desert_tortoise_tpu.apps.demod_argos",
+         str(wav), "--out", str(out)],
+        cwd=tmp_path, capture_output=True, text=True, timeout=500, env=ENV)
+    assert r.returncode == 0, r.stderr[-400:]
+    lines = [l for l in open(out) if l.strip()]
+    sent = {" ".join(f"{b:02X}" for b in p) for p in payloads}
+    got = {l.split(" ", 1)[1].strip() for l in lines}
+    assert len(got & sent) >= 2
