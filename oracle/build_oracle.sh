@@ -20,3 +20,9 @@ gcc -O2 -I"$SHIM" -I"$REF/common" -include "$REF/POESTIPdemod/config.h" \
     /root/repo/oracle/tap_poes.c "$REF/POESTIPdemod/ByteSync.c" $COMMON \
     -lm -o "$OUT/tap_poes"
 echo "built: $OUT/tap_poes"
+
+# framer-only harness
+gcc -O2 -I"$SHIM" -I"$REF/common" -include "$REF/POESTIPdemod/config.h" \
+    /root/repo/oracle/tap_bytesync.c "$REF/POESTIPdemod/ByteSync.c" \
+    -lm -o "$OUT/tap_bytesync"
+echo "built: $OUT/tap_bytesync"
