@@ -32,6 +32,9 @@ def build_parser(prog: str, default_mode: str) -> argparse.ArgumentParser:
     p.add_argument("--no-quirks", action="store_true",
                    help="chunk-size-invariant exact mode")
     p.add_argument("--mode", default=default_mode)
+    p.add_argument("--products", default=None, metavar="DIR",
+                   help="also run the telemetry explorer on the decoded "
+                        "frames (parity, DCS, HIRS images, SEM/SBUV)")
     return p
 
 
@@ -71,6 +74,9 @@ def run(argv=None, default_mode="poes_tip", prefix="minorFrames"):
             w.write_all(frames)
         print(f"\n{len(frames)} frames -> {out_path}")
         print(f"That took {time.time()-t0:.2f} seconds!")
+        if args.products:
+            from project_desert_tortoise_tpu.apps import telemetry_explorer
+            telemetry_explorer.run([out_path, "--outdir", args.products])
         return 0
 
     sess = DemodSession(mode, fs, chunk_size=args.chunk_size or None,
@@ -105,6 +111,9 @@ def run(argv=None, default_mode="poes_tip", prefix="minorFrames"):
     if raw_f is not None:
         raw_f.close()
     print(f"That took {time.time()-t0:.2f} seconds!")
+    if args.products:
+        from project_desert_tortoise_tpu.apps import telemetry_explorer
+        telemetry_explorer.run([out_path, "--outdir", args.products])
     return 0
 
 

@@ -51,3 +51,21 @@ def test_demod_argos_cli_on_synth(tmp_path):
     sent = {" ".join(f"{b:02X}" for b in p) for p in payloads}
     got = {l.split(" ", 1)[1].strip() for l in lines}
     assert len(got & sent) >= 2
+
+
+def test_demod_poes_fast_cli_with_products(tmp_path, taps_dir):
+    out = tmp_path / "frames.txt"
+    prod = tmp_path / "products"
+    r = subprocess.run(
+        [sys.executable, "-m", "project_desert_tortoise_tpu.apps.demod_poes",
+         "/root/reference/5sec_clip.wav", "--out", str(out), "--fast",
+         "--products", str(prod)],
+        cwd=tmp_path, capture_output=True, text=True, timeout=500, env=ENV)
+    assert r.returncode == 0, r.stderr[-400:]
+    mine = [l.rstrip() for l in open(out) if l.strip()]
+    oracle = [l.rstrip() for l in open(f"{taps_dir}/frames.txt") if l.strip()]
+    bodies = {l.split(" ", 1)[1] for l in mine}
+    missing = sum(1 for l in oracle[:-1]
+                  if l.split(" ", 1)[1] not in bodies)
+    assert missing <= 1
+    assert (prod / "summary.txt").exists()
