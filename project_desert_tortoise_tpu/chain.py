@@ -43,8 +43,11 @@ class ChainParams(NamedTuple):
     squelch_threshold: Optional[float]
     squelch_position: Optional[str]   # "after_pll" | "after_agc"
     step_size: float
+    fs_interp: float
+    baud: float
     gardner_err_limit: float
     gardner_gain: float
+    clock_algorithm: str              # "gardner" | "mm"
     resync_threshold: float
     quirks: bool
 
@@ -77,8 +80,11 @@ def make_params(mode_cfg, fs: float, quirks: bool = True) -> ChainParams:
         squelch_position=(mode_cfg.squelch.position
                           if mode_cfg.squelch else None),
         step_size=clock_ops.gardner_step_size(fs_i, mode_cfg.gardner.baud, dtype),
+        fs_interp=fs_i,
+        baud=mode_cfg.gardner.baud,
         gardner_err_limit=mode_cfg.gardner.error_limit,
         gardner_gain=mode_cfg.gardner.gain,
+        clock_algorithm=mode_cfg.gardner.algorithm,
         resync_threshold=mode_cfg.manchester.resync_threshold,
         quirks=quirks,
     )
@@ -106,6 +112,28 @@ def init_state(params: ChainParams, initial_gain: float, chunk_cap: int,
         x_img=jnp.zeros(batch_shape + (cap_i,), dt),
         t_img=jnp.zeros(batch_shape + (cap_i,), dt),
     )
+
+
+def _timing(params: ChainParams, g_state, x, t, n, msyms):
+    """Timing recovery dispatch: Gardner (reference default) or M&M.
+
+    For "mm" the GardnerState.half_raw slot carries the adaptive step size
+    (M&M has no mid-bit pointer); 0 means uninitialized -> Fs/baud, matching
+    the C static init (MMClockRecovery.c).
+    """
+    if params.clock_algorithm == "gardner":
+        return clock_ops.gardner_scan(
+            g_state, x, t, n, params.step_size,
+            params.gardner_err_limit, params.gardner_gain, msyms)
+    ss0 = jnp.where(g_state.half_raw == 0,
+                    jnp.asarray(params.step_size, x.dtype), g_state.half_raw)
+    st, (syms, times, valid, count) = clock_ops.mm_scan(
+        (g_state.next_sample, g_state.prev_bit, ss0), x, t, n,
+        params.fs_interp, params.baud, params.gardner_err_limit,
+        params.gardner_gain, msyms)
+    new = clock_ops.GardnerState(next_sample=st[0], half_raw=st[2],
+                                 prev_bit=st[1])
+    return new, syms, times, valid, count
 
 
 class ChunkOutput(NamedTuple):
@@ -158,10 +186,8 @@ def chunk_step(params: ChainParams, state: ChainState, iq_re, iq_im,
         t_img = jax.lax.dynamic_update_slice_in_dim(state.t_img, t_out, 0,
                                                     axis=-1)
         msyms = max_symbols(cap_i, params.step_size)
-        gardner_state, syms, sym_times, sym_valid, sym_count = \
-            clock_ops.gardner_scan(
-                state.gardner, x_img, t_img, n_i, params.step_size,
-                params.gardner_err_limit, params.gardner_gain, msyms)
+        gardner_state, syms, sym_times, sym_valid, sym_count = _timing(
+            params, state.gardner, x_img, t_img, n_i, msyms)
     else:
         # chunk-size-invariant streaming: carry a small tail of the previous
         # chunk so the pending mid-bit read resolves to the true stream
@@ -174,14 +200,13 @@ def chunk_step(params: ChainParams, state: ChainState, iq_re, iq_im,
             next_sample=state.gardner.next_sample + m,
             half_raw=state.gardner.half_raw + m)
         msyms = max_symbols(cap_i, params.step_size)
-        gardner_state, syms, sym_times, sym_valid, sym_count = \
-            clock_ops.gardner_scan(
-                g_in, x_ext, t_ext2, m + n_i, params.step_size,
-                params.gardner_err_limit, params.gardner_gain, msyms)
-        # gardner_scan subtracted (m + n_i) from next_sample; bring half_raw
-        # into the same next-chunk-relative coordinates
-        gardner_state = gardner_state._replace(
-            half_raw=gardner_state.half_raw - (m + n_i))
+        gardner_state, syms, sym_times, sym_valid, sym_count = _timing(
+            params, g_in, x_ext, t_ext2, m + n_i, msyms)
+        if params.clock_algorithm == "gardner":
+            # gardner_scan subtracted (m + n_i) from next_sample; bring
+            # half_raw into the same next-chunk-relative coordinates
+            gardner_state = gardner_state._replace(
+                half_raw=gardner_state.half_raw - (m + n_i))
         x_img = x_ext
         t_img = t_ext2
 

@@ -69,11 +69,15 @@ class AGCConfig:
 
 @dataclasses.dataclass(frozen=True)
 class GardnerConfig:
-    """Gardner timing recovery (reference ``common/GardenerClockRecovery.c``)."""
+    """Timing recovery (reference ``common/GardenerClockRecovery.c`` /
+    ``common/MMClockRecovery.c``)."""
 
     baud: float           # Manchester symbol rate (2x bit rate)
-    error_limit: float    # TED output clamp
+    error_limit: float    # TED output clamp (Gardner) / step range (M&M)
     gain: float           # TED proportional gain kp
+    # "gardner" (the reference apps' choice — "gardner works better!",
+    # POESTIPdemod/main.c:23) or "mm" (Mueller & Muller, kept selectable)
+    algorithm: str = "gardner"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -107,3 +107,22 @@ def test_mm_scan_runs():
         st, jnp.asarray(x), jnp.asarray(t), n, 150000.0, 16640.3, 3.0, 0.15,
         max_syms=130)
     assert 90 < int(count) <= 130
+
+
+def test_mm_chain_mode_decodes():
+    """Mueller & Muller selectable in the chain (the reference kept it
+    compiled but unused — "gardner works better!", POESTIPdemod/main.c:23)."""
+    import dataclasses
+    from project_desert_tortoise_tpu.models.demodulator import DemodSession
+    from project_desert_tortoise_tpu.utils import synth, wav as W
+    from project_desert_tortoise_tpu.utils.config import POES_TIP
+    mm_cfg = dataclasses.replace(
+        POES_TIP, gardner=dataclasses.replace(
+            POES_TIP.gardner, algorithm="mm", error_limit=3.0, gain=0.15))
+    iq, sent = synth.make_poes_recording(n_frames=8, fs=50000.0, snr_db=28.0)
+    t = W.time_axis(len(iq), 50000.0, np.float32)
+    res = DemodSession(mm_cfg, 50000.0, quirks=False).run(iq, t)
+    sset = {f.tobytes() for f in sent}
+    ok = sum(1 for f in res.frames
+             if f.complete and np.asarray(f.data, np.uint8).tobytes() in sset)
+    assert ok >= 4
