@@ -108,8 +108,26 @@ def run_bench(batch_blocks: int, iters: int):
     return msps, med, n_frames, dev
 
 
+def probe_device():
+    """Tiny end-to-end device touch; raises Timeout if the transport hangs."""
+    import jax
+    import jax.numpy as jnp
+    v = np.asarray(jax.jit(lambda a: a * 2 + 1)(jnp.ones(8)))
+    assert float(v[0]) == 3.0
+
+
 def main():
     signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(240)
+    try:
+        probe_device()
+        signal.alarm(0)
+    except Timeout:
+        print(json.dumps({
+            "metric": "poes_demod_throughput", "value": 0.0,
+            "unit": "Msamples/s/chip", "vs_baseline": 0.0,
+            "error": "device unreachable (transport hang on a 8-float jit)"}))
+        return
     result = None
     for B, iters, budget in [(64, 5, 900), (16, 3, 300)]:
         signal.alarm(budget)
