@@ -46,3 +46,53 @@ def test_png_writer(tmp_path):
     raw = open(p, "rb").read()
     assert raw[:8] == b"\x89PNG\r\n\x1a\n"
     assert b"IEND" in raw
+
+
+def test_static_gain_fast_matches_recurrence():
+    import jax.numpy as jnp
+    from project_desert_tortoise_tpu.ops.agc import static_gain, static_gain_fast
+    rng = np.random.default_rng(0)
+    iq = (rng.standard_normal(5000) + 1j * rng.standard_normal(5000)
+          ).astype(np.complex64) * 0.02
+    slow = static_gain(iq, 1.0, np.float32)
+    fast = float(static_gain_fast(jnp.asarray(iq), 1.0))
+    assert abs(fast - slow) < 1e-3 * abs(slow)
+
+
+def test_follow_raw_file(tmp_path):
+    import threading
+    import time
+    from project_desert_tortoise_tpu.native import wavio as N
+    if not N.available():
+        pytest.skip("native ring not built")
+    from project_desert_tortoise_tpu.models.streaming import follow_raw_file
+    p = str(tmp_path / "grow.raw")
+    data = np.arange(2 * 500, dtype="<f4")
+    open(p, "wb").write(data[:400].tobytes())
+    ring = N.IQRing(4096)
+    stop = threading.Event()
+    th = threading.Thread(target=follow_raw_file, args=(ring, p, stop),
+                          kwargs={"poll_s": 0.01})
+    th.start()
+    time.sleep(0.15)
+    with open(p, "ab") as f:        # file grows
+        f.write(data[400:].tobytes())
+    time.sleep(0.3)
+    stop.set()
+    th.join(timeout=2)
+    assert ring.available == 500
+    re, im = ring.pop(500)
+    assert np.array_equal(re, data[0::2])
+    assert np.array_equal(im, data[1::2])
+
+
+def test_poes_raw_api(tmp_path):
+    from project_desert_tortoise_tpu.models import poes
+    from project_desert_tortoise_tpu.utils import synth
+    iq, sent = synth.make_poes_recording(n_frames=5, fs=50000.0, snr_db=28.0)
+    raw = np.empty(2 * len(iq), "<f4")
+    raw[0::2], raw[1::2] = np.real(iq), np.imag(iq)
+    p = str(tmp_path / "x.raw")
+    raw.tofile(p)
+    res = poes.demodulate(p, sample_rate_hz=50000.0, quirks=False)
+    assert res.total_frames >= 3
