@@ -133,9 +133,12 @@ class DemodSession:
             if len(self._snr_window) >= 128:
                 self.snr_db = _metrics.m2m4_snr_db(self._snr_window)
             q = quality_db_from_avg_phase(self.avg_phase)
+            carrier = float(np.asarray(self.state.pll.freq)
+                            * self.fs / (2 * np.pi))
             for f in new_frames:
                 f.quality_db = q
                 f.snr_db = self.snr_db
+                f.carrier_hz = carrier   # Doppler measurement for geolocation
         return new_frames
 
     def _maybe_reacquire(self, locked: bool, n_samples: int):

@@ -33,6 +33,7 @@ class Frame:
     complete: bool = True
     quality_db: float = None  # PLL quality at emission (optional annotation)
     snr_db: float = None      # M2M4 SNR at emission (closes README.md:42 TODO)
+    carrier_hz: float = None  # PLL carrier offset at emission (Doppler track)
 
     def hex_line(self, time_decimals: int = 5,
                  with_quality: bool = False) -> str:
@@ -43,6 +44,8 @@ class Frame:
         line = f"{ts} {body}"
         if with_quality and self.quality_db is not None:
             line += f" | q={self.quality_db:.1f}dB snr={self.snr_db:.1f}dB"
+            if self.carrier_hz is not None:
+                line += f" f={self.carrier_hz:+.1f}Hz"
         return line
 
 

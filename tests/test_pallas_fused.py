@@ -75,3 +75,44 @@ def test_fused_golden_clip_compiled(poes_clip, oracle_frames):
         if line is not None and line.endswith(body):
             matched += 1
     assert matched >= len(complete) - 1
+
+
+def test_fused_interp1_argos_shape():
+    """Fused kernel with interp == 1 (ARGOS fast-path shape, 50-tap FIR,
+    after-AGC squelch) matches the XLA path."""
+    from project_desert_tortoise_tpu.utils.config import ARGOS
+    from project_desert_tortoise_tpu.ops import agc as A
+    fs = 32000.0
+    params = chain_lib.make_params(ARGOS, fs, quirks=False)
+    B, L = 128, 1024
+    rng = np.random.default_rng(1)
+    sym = rng.choice([-1.0, 1.0], size=(B, L // 40 + 2))
+    base = np.repeat(sym, 40, axis=1)[:, :L]
+    re = jnp.asarray((base * 0.01
+                      + 0.001 * rng.standard_normal((B, L))).astype(np.float32))
+    im = jnp.asarray((0.001 * rng.standard_normal((B, L))).astype(np.float32))
+    tn = jnp.asarray(np.tile(np.arange(L, dtype=np.float32) / fs, (B, 1)))
+    pst = P.init_state(params.pll, jnp.float32, (B,))
+    gain0 = jnp.full((B,), 50.0, jnp.float32)
+
+    _, soft, lock = P.pll_scan(params.pll, pst, (re, im))
+    taps = np.asarray(params.taps, np.float32)
+    y = F.fir_interp(soft, taps, 1)
+    _, y1 = A.agc_scan(A.AGCState(gain=gain0), y, params.agc_attack,
+                       params.agc_decay)
+    y1 = A.squelch(y1, lock, params.squelch_threshold)
+    g0 = C.gardner_init(jnp.float32, (B,))
+    m0 = M.manchester_init(jnp.float32, (B,))
+    _, _, bits1, bt1, em1 = C.gardner_manchester_windowed(
+        g0, m0, y1, tn, jnp.full((B,), L), params.step_size,
+        params.gardner_err_limit, params.gardner_gain,
+        params.resync_threshold, window=512)
+
+    bits2, bt2, em2, _ = fused_demod_pallas(
+        params, pst, gain0, (re, im), tn, window=256, interpret=True)
+
+    for k in range(0, B, 17):
+        a = np.asarray(bits1[k])[np.asarray(em1[k])]
+        b = np.asarray(bits2[k])[np.asarray(em2[k])]
+        assert len(a) == len(b)
+        assert np.array_equal(a, b.astype(np.uint8))
