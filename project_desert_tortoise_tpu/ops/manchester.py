@@ -90,6 +90,51 @@ def compress_stream(values, times, mask, capacity: int):
     return out_v[..., :capacity], out_t[..., :capacity], count
 
 
+def compress_sorted(values, times, mask, capacity: int):
+    """`compress_stream` via a stable sort instead of a scatter.
+
+    XLA scatters serialize on TPU (~100 ms for 128x118k rows); a stable
+    2-way-key sort is ~4x cheaper and order-preserving by stability.
+    Semantics identical to `compress_stream`: masked entries packed to the
+    front, zeros past `count`.
+    """
+    n = values.shape[-1]
+    key = jnp.where(mask, jnp.int32(0), jnp.int32(1))
+    _, sv, st = jax.lax.sort(
+        [key, values, times], dimension=-1, num_keys=1, is_stable=True)
+    count = jnp.sum(mask.astype(jnp.int32), axis=-1)
+    if n < capacity:
+        pad = [(0, 0)] * (values.ndim - 1) + [(0, capacity - n)]
+        sv, st = jnp.pad(sv, pad), jnp.pad(st, pad)
+    else:
+        sv, st = sv[..., :capacity], st[..., :capacity]
+    live = jnp.arange(capacity) < count[..., None]
+    return (jnp.where(live, sv, jnp.zeros_like(sv)),
+            jnp.where(live, st, jnp.zeros_like(st)),
+            count)
+
+
+def compress_spaced(values, times, mask, capacity: int, min_spacing: int = 4):
+    """`compress_stream` for sample-dense streams whose set bits are at least
+    `min_spacing` apart along the last axis (the fused-kernel output: bit
+    emissions are >= ~6 input samples apart, ``GardenerClockRecovery.c:57``).
+
+    Reduces P = min_spacing samples to one slot first (each chunk holds at
+    most one set bit), then sort-compacts the 1/P-size slot stream.
+    """
+    p = min_spacing
+    n = values.shape[-1]
+    assert n % p == 0, (n, p)
+    lead = values.shape[:-1]
+    m = mask.reshape(lead + (n // p, p))
+    cm = m.any(-1)
+    vv = values.astype(times.dtype)
+    cv = jnp.sum(vv.reshape(lead + (n // p, p)) * m, axis=-1)
+    ct = jnp.sum(times.reshape(lead + (n // p, p)) * m, axis=-1)
+    out_v, out_t, count = compress_sorted(cv, ct, cm, capacity)
+    return out_v.astype(values.dtype), out_t, count
+
+
 def _scatter_last(out, idx, vals):
     if out.ndim == 1:
         return out.at[idx].set(vals, mode="drop")

@@ -75,6 +75,7 @@ def default_plan(mode_cfg, fs: float, core: Optional[int] = None,
     return BlockPlan(core=core, head=head, tail=tail, max_frames=max_frames)
 
 
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def coarse_carrier_est(zre, zim, fs: float, line_spacing_hz: float = 8320.0,
                        nfft: int = 8192):
     """Per-block data-aided carrier estimate from the BPSK squared spectrum.
@@ -152,9 +153,12 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         bits_f, btimes_f, emit_f, avg_phase = fused_demod_pallas(
             params, pll_state, gain0, (blocks_re, blocks_im), t_next,
             window=min(window, 512))
+        # bit emissions are >= ~6 input samples apart (one per 2 Gardner
+        # symbols), so a 4-sample chunk holds at most one -> cheap compaction
         max_bits = total // 4 + 8
-        bits_c, times_c, n_bits = man_ops.compress_stream(
-            bits_f.astype(jnp.uint8), btimes_f, emit_f, max_bits)
+        bits_c, times_c, n_bits = man_ops.compress_spaced(
+            bits_f.astype(jnp.uint8), btimes_f, emit_f, max_bits,
+            min_spacing=4)
         return bits_c, times_c, n_bits, avg_phase
 
     if use_pallas and window and B % 128 == 0:
@@ -201,7 +205,7 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         m_state, bits, bit_times, bit_mask = man_ops.manchester_scan(
             m_state, syms, sym_times, sym_valid, params.resync_threshold)
 
-    bits_c, times_c, n_bits = man_ops.compress_stream(
+    bits_c, times_c, n_bits = man_ops.compress_sorted(
         bits, bit_times, bit_mask, max_bits)
     return bits_c, times_c, n_bits, pll_state.avg_phase
 

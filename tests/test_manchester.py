@@ -95,3 +95,37 @@ def test_compress_stream():
     v, t, c = M.compress_stream(vals, vals, mask, 4)
     assert int(c) == 3
     assert np.array_equal(np.asarray(v)[:3], [1, 3, 4])
+
+
+def test_compress_sorted_matches_scatter():
+    rng = np.random.default_rng(7)
+    vals = jnp.asarray(rng.random((3, 256)), jnp.float32)
+    tms = vals + 1.0
+    mask = jnp.asarray(rng.random((3, 256)) < 0.3)
+    for cap in (64, 100, 300):
+        v0, t0, c0 = M.compress_stream(vals, tms, mask, cap)
+        v1, t1, c1 = M.compress_sorted(vals, tms, mask, cap)
+        assert np.array_equal(np.asarray(c0), np.asarray(c1))
+        assert np.allclose(np.asarray(v0), np.asarray(v1))
+        assert np.allclose(np.asarray(t0), np.asarray(t1))
+
+
+def test_compress_spaced_matches_scatter():
+    rng = np.random.default_rng(8)
+    n, p = 512, 4
+    mask_np = np.zeros((2, n), bool)
+    for b in range(2):
+        i = 0
+        while i < n:
+            i += rng.integers(6, 14)
+            if i < n:
+                mask_np[b, i] = True
+    vals = jnp.asarray(rng.integers(0, 2, (2, n)), jnp.uint8)
+    tms = jnp.asarray(rng.random((2, n)), jnp.float32)
+    mask = jnp.asarray(mask_np)
+    cap = n // 4 + 8
+    v0, t0, c0 = M.compress_stream(vals, tms, mask, cap)
+    v1, t1, c1 = M.compress_spaced(vals, tms, mask, cap, min_spacing=p)
+    assert np.array_equal(np.asarray(c0), np.asarray(c1))
+    assert np.array_equal(np.asarray(v0), np.asarray(v1))
+    assert np.allclose(np.asarray(t0), np.asarray(t1))

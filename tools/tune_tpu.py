@@ -87,11 +87,14 @@ def main():
     params = chain_lib.make_params(POES_TIP, fs, quirks=False)
 
     if args.quick:
-        grid = [(False, 64, 4096), ("fused", 64, 512)]
+        grid = [(False, 64, 4096), ("fused", 128, 512)]
     else:
-        grid = [(False, 64, 4096), (False, 64, 2048), (False, 256, 4096),
-                ("front", 64, 2048), ("front", 256, 2048),
-                ("fused", 64, 512), ("fused", 256, 512), ("fused", 256, 256)]
+        # NOTE: pallas impls need B % 128 == 0 (lane dimension) or they
+        # silently fall back to the XLA path inside demod_blocks.
+        grid = [(False, 64, 4096), (False, 128, 4096), (False, 256, 4096),
+                ("front", 128, 4096),
+                ("fused", 128, 256), ("fused", 128, 512), ("fused", 128, 1024),
+                ("fused", 256, 512), ("fused", 384, 512)]
 
     results = []
     staged = {}
