@@ -26,3 +26,9 @@ gcc -O2 -I"$SHIM" -I"$REF/common" -include "$REF/POESTIPdemod/config.h" \
     /root/repo/oracle/tap_bytesync.c "$REF/POESTIPdemod/ByteSync.c" \
     -lm -o "$OUT/tap_bytesync"
 echo "built: $OUT/tap_bytesync"
+
+# ARGOS realtime-variant harness (float32 config, inverse-sync framer)
+gcc -O2 -I"$SHIM" -I"$REF/common" -include "$REF/ARGOSdemodPortAudio/config.h" \
+    /root/repo/oracle/tap_argosp.c "$REF/ARGOSdemodPortAudio/ByteSync.c" $COMMON \
+    -lm -o "$OUT/tap_argosp"
+echo "built: $OUT/tap_argosp"

@@ -70,7 +70,7 @@ def run(argv=None, default_mode="poes_tip", prefix="minorFrames"):
         from project_desert_tortoise_tpu.parallel.blocked import demodulate_blocked
         frames = demodulate_blocked(iq, t, fs, mode,
                                     norm_factor=args.norm_factor or None)
-        with O.FrameWriter(out_path) as w:
+        with O.FrameWriter(out_path, inverted_mark=mode.framer.inverted_mark) as w:
             w.write_all(frames)
         print(f"\n{len(frames)} frames -> {out_path}")
         print(f"That took {time.time()-t0:.2f} seconds!")
@@ -86,7 +86,7 @@ def run(argv=None, default_mode="poes_tip", prefix="minorFrames"):
     sess.raw_tap = raw_f
     if sess.norm_factor is None and len(iq):
         pass  # computed from first chunk inside the session
-    with O.FrameWriter(out_path) as w:
+    with O.FrameWriter(out_path, inverted_mark=mode.framer.inverted_mark) as w:
         n = len(iq)
         ts = mode.np_dtype().type(1.0) / mode.np_dtype().type(fs)
         t_ext = np.concatenate([t, [t[-1] + ts] if n else [ts]])

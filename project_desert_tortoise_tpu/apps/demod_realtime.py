@@ -38,7 +38,7 @@ def run(argv=None, default_mode="poes_tip_realtime", prefix="minorFrames"):
     mode = get_mode(args.mode)
     fs = args.rate_khz * 1000.0
     out_path = args.out or O.default_output_name(prefix)
-    writer = O.FrameWriter(out_path)
+    writer = O.FrameWriter(out_path, inverted_mark=mode.framer.inverted_mark)
 
     sd = StreamingDemodulator(mode, fs, chunk_size=args.chunk_size or None,
                               norm_factor=args.norm_factor or None,

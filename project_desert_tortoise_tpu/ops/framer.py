@@ -36,9 +36,9 @@ class Frame:
     carrier_hz: float = None  # PLL carrier offset at emission (Doppler track)
 
     def hex_line(self, time_decimals: int = 5,
-                 with_quality: bool = False) -> str:
+                 with_quality: bool = False, inverted_mark: bool = True) -> str:
         ts = f"{self.time:.{time_decimals}f}"
-        if self.inverted:
+        if self.inverted and inverted_mark:
             ts += "i"
         body = " ".join(f"{b:02X}" for b in self.data)
         line = f"{ts} {body}"

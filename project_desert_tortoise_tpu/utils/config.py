@@ -97,6 +97,10 @@ class FramerConfig:
     first_bit_index: int      # bitIdx at sync (3 POES, 0 ARGOS)
     prefix_bytes: tuple       # bytes emitted at sync ((0xED,0xE2) POES, () ARGOS)
     detect_inverted: bool     # also match the complemented sync word
+    # POES tags inverted-sync frames with an "i" timestamp suffix
+    # (POESTIPdemod/ByteSync.c:130); the ARGOS realtime framer prints the
+    # bare timestamp for both polarities (ARGOSdemodPortAudio/ByteSync.c:127).
+    inverted_mark: bool = True
 
     @property
     def sync_len(self) -> int:
@@ -221,7 +225,8 @@ ARGOS = ModeConfig(
 ARGOS_REALTIME = dataclasses.replace(
     ARGOS,
     name="argos_realtime",
-    framer=dataclasses.replace(ARGOS.framer, detect_inverted=True),
+    framer=dataclasses.replace(ARGOS.framer, detect_inverted=True,
+                               inverted_mark=False),
     dtype="float32",
 )
 

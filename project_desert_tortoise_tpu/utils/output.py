@@ -26,16 +26,17 @@ class FrameWriter:
     """Streaming writer; reference-compatible line format."""
 
     def __init__(self, path: str, remove_if_empty: bool = True,
-                 with_quality: bool = False):
+                 with_quality: bool = False, inverted_mark: bool = True):
         self.path = path
         self.remove_if_empty = remove_if_empty
         self.with_quality = with_quality
+        self.inverted_mark = inverted_mark
         self.count = 0
         self._f = open(path, "w")
 
     def write(self, frame: Frame):
         ts = f"{frame.time:.5f}"
-        if frame.inverted:
+        if frame.inverted and self.inverted_mark:
             ts += "i"
         self._f.write(ts + " ")
         self._f.write("".join(f"{b:02X} " for b in frame.data))

@@ -102,11 +102,17 @@ def make_poes_recording(n_frames: int = 8, fs: float = 50000.0,
 
 def make_argos_recording(n_packets: int = 3, fs: float = 32000.0,
                          carrier_hz: float = 200.0, snr_db: float = 30.0,
-                         gap_s: float = 0.5, rng=None):
+                         gap_s: float = 0.5, invert_bits: bool = False,
+                         rng=None):
     """Synthesized ARGOS pass: short 400 bit/s packets with the 13-bit sync.
 
     Returns (iq, payloads) where each payload is the 7 data bytes the
-    reference framer emits (``ARGOSdemod/ByteSync.c:69``)."""
+    reference framer emits (``ARGOSdemod/ByteSync.c:69``).
+
+    ``invert_bits`` complements the transmitted bit stream — from the
+    receiver this is indistinguishable from the Costas loop settling on the
+    opposite BPSK lock point, so packets only decode through the framer's
+    inverse-sync path (``ARGOSdemodPortAudio/ByteSync.c:112``)."""
     rng = rng or np.random.default_rng(7)
     sync = np.array([0, 0, 0, 1, 0, 1, 1, 1, 1, 0, 0, 0, 0], np.uint8)
     pieces, payloads = [], []
@@ -116,6 +122,8 @@ def make_argos_recording(n_packets: int = 3, fs: float = 32000.0,
         bits = np.concatenate([
             np.tile([1, 0], 30).astype(np.uint8),   # CW/preamble-ish warmup
             sync, bytes_to_bits(payload)])
+        if invert_bits:
+            bits = (1 - bits).astype(np.uint8)
         pieces.append(manchester_bpsk_iq(
             bits, fs, 400.0, carrier_hz, snr_db, lead_s=0.4, tail_s=gap_s,
             rng=rng))
