@@ -190,6 +190,43 @@ def frame_extract(bits, times, n_bits, cfg, max_frames: int):
     return FrameBatch(times=f_times, inverted=inv, data=data, count=count)
 
 
+def stitch_frames(fb: FrameBatch, bounds, cap: int, chan=None):
+    """Device-side frame stitching across a batch of time blocks.
+
+    Replaces the host per-frame Python loops: keeps frames whose sync time
+    falls inside their block's core interval ``[bounds[b,0], bounds[b,1])``
+    (exact, dedup-free — cores tile the recording and sync times are values
+    of the shared time axis), then compacts the survivors of ALL blocks into
+    one time-sorted packed array.
+
+    fb: FrameBatch over a flat block axis — times/inverted (B, F),
+    data (B, F, nbytes), count (B,).  bounds: (B, 2).
+    Returns (times (cap,), inverted (cap,), data (cap, nbytes), n) with the
+    first ``n`` entries valid, in stream (time) order.  When ``chan`` (B,)
+    channel ids are given the batch may mix channels: the sort is
+    (channel, time) and a fifth array of per-frame channel ids is returned.
+    """
+    times = fb.times
+    B, F = times.shape
+    valid = jnp.arange(F)[None, :] < fb.count[:, None]
+    b = jnp.asarray(bounds, times.dtype)
+    keep = valid & (times >= b[:, :1]) & (times < b[:, 1:2])
+    tflat = jnp.where(keep, times, jnp.inf).reshape(-1)
+    if chan is None:
+        order = jnp.argsort(tflat)[:cap]
+    else:
+        cflat = jnp.broadcast_to(jnp.asarray(chan, jnp.int32)[:, None],
+                                 (B, F)).reshape(-1)
+        cflat = jnp.where(jnp.isinf(tflat), jnp.iinfo(jnp.int32).max, cflat)
+        order = jnp.lexsort((tflat, cflat))[:cap]
+    n = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), cap)
+    data = fb.data.reshape((B * F,) + fb.data.shape[2:])
+    out = (tflat[order], fb.inverted.reshape(-1)[order], data[order], n)
+    if chan is not None:
+        out = out + (cflat[order],)
+    return out
+
+
 def _corr_last(bipolar, pat):
     """corr[i] = sum_k pat[k] * x[i - (P-1) + k] — window ENDING at i."""
     p = len(pat)

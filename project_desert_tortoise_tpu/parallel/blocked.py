@@ -216,6 +216,34 @@ def extract_frames(framer_cfg, max_frames: int, bits_c, times_c, n_bits):
                                     max_frames)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def extract_stitch(framer_cfg, max_frames: int, cap: int,
+                   bits_c, times_c, n_bits, bounds):
+    """Frame extraction + device-side core-interval stitching in one jit.
+
+    The host touches exactly one (times, inverted, data, n) fetch per batch
+    instead of looping over every candidate frame (VERDICT r1 item 6)."""
+    fb = framer_ops.frame_extract(bits_c, times_c, n_bits, framer_cfg,
+                                  max_frames)
+    return framer_ops.stitch_frames(fb, bounds, cap)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def extract_stitch_chan(framer_cfg, max_frames: int, cap: int,
+                        bits_c, times_c, n_bits, bounds, chan):
+    """Channel-aware variant of :func:`extract_stitch` for mixed batches."""
+    fb = framer_ops.frame_extract(bits_c, times_c, n_bits, framer_cfg,
+                                  max_frames)
+    return framer_ops.stitch_frames(fb, bounds, cap, chan=chan)
+
+
+def _fetch_frames(stitched) -> List[Frame]:
+    times, inv, data, n = (np.asarray(x) for x in stitched)
+    n = int(n)
+    return [Frame(float(times[j]), bool(inv[j]), data[j].copy(), True)
+            for j in range(n)]
+
+
 def stage_blocks(re, im, t_ext, plan: BlockPlan, b0: int, bn: int, dt,
                  shift: bool = True):
     """Host-side: cut bn overlapping blocks starting at core index b0."""
@@ -280,19 +308,9 @@ def demodulate_blocked(iq, t, fs, mode_cfg, norm_factor: Optional[float] = None,
         bits_c, times_c, n_bits, _ = demod_blocks(
             params, plan.total, jre, jim, float(fs), jnp.asarray(t_next),
             fest, float(norm_factor), window, use_pallas)
-        fb = extract_frames(mode_cfg.framer, plan.max_frames, bits_c,
-                            times_c, n_bits)
-        counts = np.asarray(fb.count)
-        f_times = np.asarray(fb.times)
-        f_inv = np.asarray(fb.inverted)
-        f_data = np.asarray(fb.data)
-        for k in range(bn):
-            lo_t, hi_t = bounds[k]
-            for j in range(int(counts[k])):
-                tt = float(f_times[k, j])
-                if lo_t <= tt < hi_t:
-                    frames.append(Frame(tt, bool(f_inv[k, j]),
-                                        f_data[k, j].copy(), True))
+        frames.extend(_fetch_frames(extract_stitch(
+            mode_cfg.framer, plan.max_frames, bn * plan.max_frames,
+            bits_c, times_c, n_bits, jnp.asarray(bounds, dt))))
     frames.sort(key=lambda f: f.time)
     return frames
 
@@ -320,6 +338,10 @@ def demodulate_many(iqs, t, fs, mode_cfg, norm_factor: Optional[float] = None,
     n_blocks = max(1, -(-n // plan.core))
     shift = params.interp > 1
 
+    # hoist the per-channel plane conversion out of the staging loop
+    res_planes = [np.ascontiguousarray(np.real(ch), dt) for ch in iqs]
+    ims_planes = [np.ascontiguousarray(np.imag(ch), dt) for ch in iqs]
+
     # stage all (channel, block) pairs into one work list
     work = [(c, b) for c in range(C) for b in range(n_blocks)]
     res = [[] for _ in range(C)]
@@ -330,31 +352,27 @@ def demodulate_many(iqs, t, fs, mode_cfg, norm_factor: Optional[float] = None,
         bis = np.zeros((bn, plan.total), dt)
         tns = np.zeros((bn, plan.total), dt)
         bounds = np.zeros((bn, 2))
+        chan = np.zeros(bn, np.int32)
         for k, (c, b) in enumerate(batch):
-            re = np.real(iqs[c]).astype(dt)
-            im = np.imag(iqs[c]).astype(dt)
-            r1, i1, t1, bd = stage_blocks(re, im, t_ext, plan, b, 1, dt,
-                                          shift=shift)
-            brs[k], bis[k], tns[k], bounds[k] = r1[0], i1[0], t1[0], bd[0]
+            r1, i1, t1, bd = stage_blocks(res_planes[c], ims_planes[c],
+                                          t_ext, plan, b, 1, dt, shift=shift)
+            brs[k], bis[k], tns[k], bounds[k], chan[k] = \
+                r1[0], i1[0], t1[0], bd[0], c
         jre, jim = jnp.asarray(brs), jnp.asarray(bis)
         fest = coarse_carrier_est(jre, jim, float(fs),
                                   mode_cfg.gardner.baud / 2.0)
         bits_c, times_c, n_bits, _ = demod_blocks(
             params, plan.total, jre, jim, float(fs), jnp.asarray(tns),
             fest, float(norm_factor))
-        fb = extract_frames(mode_cfg.framer, plan.max_frames, bits_c,
-                            times_c, n_bits)
-        counts = np.asarray(fb.count)
-        f_times = np.asarray(fb.times)
-        f_inv = np.asarray(fb.inverted)
-        f_data = np.asarray(fb.data)
-        for k, (c, b) in enumerate(batch):
-            lo_t, hi_t = bounds[k]
-            for j in range(int(counts[k])):
-                tt = float(f_times[k, j])
-                if lo_t <= tt < hi_t:
-                    res[c].append(Frame(tt, bool(f_inv[k, j]),
-                                        f_data[k, j].copy(), True))
+        stitched = extract_stitch_chan(
+            mode_cfg.framer, plan.max_frames, bn * plan.max_frames,
+            bits_c, times_c, n_bits, jnp.asarray(bounds, dt),
+            jnp.asarray(chan))
+        f_times, f_inv, f_data, n, f_chan = (np.asarray(x) for x in stitched)
+        for j in range(int(n)):
+            res[int(f_chan[j])].append(Frame(float(f_times[j]),
+                                             bool(f_inv[j]),
+                                             f_data[j].copy(), True))
     for frames in res:
         frames.sort(key=lambda f: f.time)
     return res
