@@ -60,7 +60,7 @@ def run_bench(batch_blocks: int, iters: int):
     window = int(os.environ.get("PDT_BENCH_WINDOW", 4096))
     up = os.environ.get("PDT_BENCH_PALLAS", "0")
     use_pallas = {"0": False, "1": "front", "front": "front",
-                  "fused": "fused"}.get(up, False)
+                  "fused": "fused", "fused2": "fused2"}.get(up, False)
 
     clip = os.path.join("/root/reference", "5sec_clip.wav")
     if os.path.exists(clip):

@@ -146,11 +146,15 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         freq=(jnp.asarray(2.0 * np.pi / fs, dt) * freq_est),
         locked=jnp.ones((B,), bool),
     )
-    if use_pallas == "fused" and window and B % 128 == 0:
-        from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
-            fused_demod_pallas)
+    if use_pallas in ("fused", "fused2") and window and B % 128 == 0:
+        if use_pallas == "fused2":
+            from project_desert_tortoise_tpu.ops.pallas.fused_kernel2 import (
+                fused_demod_pallas2 as fused_fn)
+        else:
+            from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
+                fused_demod_pallas as fused_fn)
         gain0 = jnp.full((B,), norm_gain, dt)
-        bits_f, btimes_f, emit_f, avg_phase = fused_demod_pallas(
+        bits_f, btimes_f, emit_f, avg_phase = fused_fn(
             params, pll_state, gain0, (blocks_re, blocks_im), t_next,
             window=min(window, 512))
         # bit emissions are >= ~6 input samples apart (one per 2 Gardner
