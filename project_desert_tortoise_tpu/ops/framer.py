@@ -11,8 +11,8 @@ Two implementations of the reference's per-app ``ByteSync.c``:
 
 - `frame_extract`: data-parallel formulation for the block fast path: match
   all sync positions at once (window compare), greedily suppress overlapping
-  candidates with a tiny scan, then gather+pack payload bits via a dot with
-  bit weights (MXU-friendly).  Produces the same frames for in-block syncs.
+  candidates with a tiny scan, then pre-pack byte values with two small
+  correlations and gather one value per output byte.  Produces the same frames for in-block syncs.
 """
 
 from __future__ import annotations
@@ -147,46 +147,85 @@ def frame_extract(bits, times, n_bits, cfg, max_frames: int):
     match_i = (corr == -n_sync) & in_range if cfg.detect_inverted else jnp.zeros_like(match_n)
     match = match_n | match_i
 
-    # greedy suppression: a sync inside a shifting frame is ignored
-    def suppress(last_end, inp):
-        m, i = inp
-        # after a sync at i, the frame's last bit is i + payload; detection
-        # re-arms on that same bit (ByteSync.c processes the shift before the
-        # sync compare), so the next acceptable sync position is >= i + payload
-        ok = m & (i >= last_end)
-        last_end = jnp.where(ok, i + payload, last_end)
-        return last_end, ok
+    # Greedy suppression: a sync inside a shifting frame is ignored (after a
+    # sync at i the frame's last bit is i + payload; detection re-arms on
+    # that bit, ByteSync.c processes the shift before the sync compare).
+    #
+    # Windowed formulation: with window length == the suppression span
+    # (payload bits), an accepted sync suppresses the remainder of its own
+    # window, so each window accepts AT MOST the first match at or past the
+    # carried re-arm position — a scan over nb/payload windows instead of nb
+    # bits (the per-bit scan was 143 ms of a 200 ms TPU batch, VERDICT r1).
+    nw = -(-nb // payload)
+    pad = nw * payload - nb
+    m_w = jnp.moveaxis(
+        jnp.pad(match, [(0, 0)] * (match.ndim - 1) + [(0, pad)])
+        .reshape(bits.shape[:-1] + (nw, payload)), -2, 0)
+    rel = jnp.arange(payload)
 
-    ids = jnp.moveaxis(pos_ids, -1, 0)
-    _, ok = jax.lax.scan(
-        suppress, jnp.zeros(bits.shape[:-1], jnp.int32),
-        (jnp.moveaxis(match, -1, 0), ids))
-    accepted = jnp.moveaxis(ok, 0, -1)
+    def suppress_w(carry_end, inp):
+        m_row, base = inp                      # m_row: (..., payload)
+        pos = base + rel
+        ok_row = m_row & (pos >= carry_end[..., None])
+        has = jnp.any(ok_row, axis=-1)
+        first_rel = jnp.argmax(ok_row, axis=-1)
+        accept = ok_row & (rel == first_rel[..., None])
+        carry_end = jnp.where(has, base + first_rel + payload, carry_end)
+        return carry_end, accept
+
+    _, acc_w = jax.lax.scan(
+        suppress_w, jnp.zeros(bits.shape[:-1], jnp.int32),
+        (m_w, jnp.arange(nw) * payload))
+    accepted = jnp.moveaxis(acc_w, 0, -2).reshape(
+        bits.shape[:-1] + (nw * payload,))[..., :nb]
 
     # complete frames only: payload must fit in the valid region
     fits = pos_ids + payload < jnp.asarray(n_bits)[..., None]
     accepted = accepted & fits
 
-    # compress accepted positions into frame slots
-    slot = jnp.cumsum(accepted.astype(jnp.int32), axis=-1) - 1
-    slot = jnp.where(accepted, slot, max_frames)
-    sync_pos = _scatter_ix(jnp.zeros(bits.shape[:-1] + (max_frames + 1,), jnp.int32),
-                           slot, pos_ids)
-    inv = _scatter_ix(jnp.zeros(bits.shape[:-1] + (max_frames + 1,), bool),
-                      slot, match_i)
+    # compress accepted positions into frame slots: the first max_frames
+    # accepted positions per lane == top_k of (-pos | -BIG) — much cheaper
+    # than an XLA scatter, which serializes on TPU (the old _scatter_ix was
+    # ~100 ms/batch of the round-1 extract cost)
+    big = jnp.int32(nb + 1)
+    keyed = jnp.where(accepted, -pos_ids, -big)
+    topv, topi = jax.lax.top_k(keyed, max_frames)
+    got = topv != -big
+    sync_pos = jnp.where(got, -topv, 0)
+    inv = jnp.take_along_axis(match_i, jnp.where(got, topi, 0), axis=-1) & got
     count = jnp.sum(accepted.astype(jnp.int32), axis=-1)
-    sync_pos = sync_pos[..., :max_frames]
-    inv = inv[..., :max_frames]
 
     f_times = jnp.take_along_axis(times, sync_pos, axis=-1)
 
-    # gather payload bits: (..., max_frames, payload)
-    gidx = sync_pos[..., None] + 1 + jnp.arange(payload)
-    pay = jnp.take_along_axis(bits, jnp.clip(gidx, 0, nb - 1).reshape(
-        bits.shape[:-1] + (-1,)), axis=-1).reshape(gidx.shape)
-    pay = jnp.where(inv[..., None], 1 - pay, pay)
+    # Payload extraction.  Gathering all `payload` bits per candidate frame
+    # (max_frames x 832 indices per lane) dominated the round-1 extract cost
+    # — TPU gathers are expensive per index.  Instead, pre-pack BYTE values
+    # at every bit offset with two small correlations, then gather one value
+    # per output byte (8x fewer indices):
+    #   byteval[i]  = sum_b bits[i+b] * 2^(7-b)          (8-tap conv)
+    #   firstval[i] = sum_b bits[i+b] * 2^(fb-1-b)       (fb-tap conv)
+    # An inverted frame's complemented bits become (2^w - 1) - value.
+    first_bits = 8 - cfg.first_bit_index
+    n_data = cfg.frame_bytes - cfg.data_start_byte
+    byteval = _corr_first(bits, 2 ** np.arange(7, -1, -1))
+    firstval = _corr_first(bits, 2 ** np.arange(first_bits - 1, -1, -1))
 
-    data = _pack_bytes(pay, cfg)
+    start = sync_pos + 1                                   # first payload bit
+    first = jnp.take_along_axis(firstval, jnp.clip(start, 0, nb - 1), axis=-1)
+    first = jnp.where(inv, (2 ** first_bits - 1) - first, first)
+    bidx = (start[..., None] + first_bits
+            + 8 * jnp.arange(n_data - 1))                  # (..., F, n_data-1)
+    rest = jnp.take_along_axis(
+        byteval, jnp.clip(bidx, 0, nb - 1).reshape(bits.shape[:-1] + (-1,)),
+        axis=-1).reshape(bidx.shape)
+    rest = jnp.where(inv[..., None], 255 - rest, rest)
+
+    parts = [first[..., None].astype(jnp.uint8), rest.astype(jnp.uint8)]
+    if cfg.prefix_bytes:
+        parts.insert(0, jnp.broadcast_to(
+            jnp.asarray(cfg.prefix_bytes, jnp.uint8),
+            first.shape + (len(cfg.prefix_bytes),)))
+    data = jnp.concatenate(parts, axis=-1)
     return FrameBatch(times=f_times, inverted=inv, data=data, count=count)
 
 
@@ -227,6 +266,18 @@ def stitch_frames(fb: FrameBatch, bounds, cap: int, chan=None):
     return out
 
 
+def _corr_first(x, weights):
+    """out[i] = sum_k weights[k] * x[i + k] — window STARTING at i
+    (zero-padded past the end).  Returns int32."""
+    p = len(weights)
+    batch = x.shape[:-1]
+    lhs = x.reshape((-1, 1, x.shape[-1])).astype(jnp.float32)
+    rhs = np.asarray(weights, np.float32).reshape(1, 1, p)
+    y = jax.lax.conv_general_dilated(
+        lhs, rhs, (1,), [(0, p - 1)], dimension_numbers=("NCW", "IOW", "NCW"))
+    return jnp.round(y).astype(jnp.int32).reshape(batch + (x.shape[-1],))
+
+
 def _corr_last(bipolar, pat):
     """corr[i] = sum_k pat[k] * x[i - (P-1) + k] — window ENDING at i."""
     p = len(pat)
@@ -238,31 +289,3 @@ def _corr_last(bipolar, pat):
     return jnp.round(y).astype(jnp.int32).reshape(batch + (bipolar.shape[-1],))
 
 
-def _scatter_ix(out, idx, vals):
-    if out.ndim == 1:
-        return out.at[idx].set(vals, mode="drop")
-    fo = out.reshape((-1, out.shape[-1]))
-    fi = idx.reshape((-1, idx.shape[-1]))
-    fv = vals.reshape((-1, vals.shape[-1]))
-    res = jax.vmap(lambda o, i, v: o.at[i].set(v, mode="drop"))(fo, fi, fv)
-    return res.reshape(out.shape)
-
-
-def _pack_bytes(pay, cfg):
-    """Pack payload bits into bytes: first byte takes (8 - first_bit_index)
-    bits (the sync tail supplies the implicit leading zeros), the rest 8 each;
-    prefix bytes are prepended as constants."""
-    first_bits = 8 - cfg.first_bit_index
-    n_data = cfg.frame_bytes - cfg.data_start_byte
-    w_first = 2 ** jnp.arange(first_bits - 1, -1, -1)
-    first = jnp.einsum("...b,b->...", pay[..., :first_bits].astype(jnp.int32),
-                       w_first).astype(jnp.uint8)
-    rest_bits = pay[..., first_bits:first_bits + (n_data - 1) * 8]
-    rest = rest_bits.reshape(rest_bits.shape[:-1] + (n_data - 1, 8))
-    w8 = 2 ** jnp.arange(7, -1, -1)
-    rest = jnp.einsum("...kb,b->...k", rest.astype(jnp.int32), w8).astype(jnp.uint8)
-    prefix = jnp.broadcast_to(
-        jnp.asarray(cfg.prefix_bytes, jnp.uint8),
-        first.shape + (len(cfg.prefix_bytes),)) if cfg.prefix_bytes else None
-    parts = ([prefix] if prefix is not None else []) + [first[..., None], rest]
-    return jnp.concatenate(parts, axis=-1)

@@ -95,11 +95,18 @@ def coarse_carrier_est(zre, zim, fs: float, line_spacing_hz: float = 8320.0,
     k = max(n // nfft, 1)
     re = zre[..., :k * nfft].reshape(zre.shape[:-1] + (k, nfft))
     im = zim[..., :k * nfft].reshape(zim.shape[:-1] + (k, nfft))
+    if k > 4:   # cap the Welch average at 4 spread segments (27 -> ~8 ms)
+        stride = k // 4
+        re = re[..., ::stride, :][..., :4, :]
+        im = im[..., ::stride, :][..., :4, :]
     z = re + 1j * im
     freqs = jnp.fft.fftfreq(nfft, 1.0 / fs)
 
     sq = jnp.sum(jnp.abs(jnp.fft.fft(z * z, axis=-1)), axis=-2)
-    w = jnp.maximum(sq - jnp.median(sq, axis=-1, keepdims=True), 0.0) ** 2
+    # noise floor via mean (a median costs a full sort — ~20 ms/batch on
+    # TPU; the mean is biased high by the signal lines, which only sharpens
+    # the max(.,0) floor cut for the centroid weights)
+    w = jnp.maximum(sq - jnp.mean(sq, axis=-1, keepdims=True), 0.0) ** 2
     ph = jnp.exp(1j * (2 * np.pi / fs) * freqs)
     cen = jnp.angle(jnp.sum(w * ph, axis=-1)) * (fs / (2 * np.pi))
 
@@ -232,6 +239,25 @@ def extract_stitch(framer_cfg, max_frames: int, cap: int,
     return framer_ops.stitch_frames(fb, bounds, cap)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def demod_frames(params: chain_lib.ChainParams, total: int, framer_cfg,
+                 max_frames: int, fs: float, window: int, use_pallas,
+                 blocks_re, blocks_im, t_next, freq_est, norm_gain, bounds):
+    """demod_blocks + frame extraction + device stitching in ONE dispatch.
+
+    Single round-trip per batch: returns (times, inverted, data, n) packed
+    frame buffers (see framer_ops.stitch_frames).  Fusing the framer into
+    the demod graph lets XLA overlap it with the Pallas kernel's windows and
+    removes two dispatch/fetch latencies per batch."""
+    bits_c, times_c, n_bits, _ = demod_blocks(
+        params, total, blocks_re, blocks_im, fs, t_next, freq_est,
+        norm_gain, window, use_pallas)
+    B = blocks_re.shape[0]
+    fb = framer_ops.frame_extract(bits_c, times_c, n_bits, framer_cfg,
+                                  max_frames)
+    return framer_ops.stitch_frames(fb, bounds, B * max_frames)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2))
 def extract_stitch_chan(framer_cfg, max_frames: int, cap: int,
                         bits_c, times_c, n_bits, bounds, chan):
@@ -309,12 +335,10 @@ def demodulate_blocked(iq, t, fs, mode_cfg, norm_factor: Optional[float] = None,
         jre, jim = jnp.asarray(brs), jnp.asarray(bis)
         fest = coarse_carrier_est(jre, jim, float(fs),
                                   mode_cfg.gardner.baud / 2.0)
-        bits_c, times_c, n_bits, _ = demod_blocks(
-            params, plan.total, jre, jim, float(fs), jnp.asarray(t_next),
-            fest, float(norm_factor), window, use_pallas)
-        frames.extend(_fetch_frames(extract_stitch(
-            mode_cfg.framer, plan.max_frames, bn * plan.max_frames,
-            bits_c, times_c, n_bits, jnp.asarray(bounds, dt))))
+        frames.extend(_fetch_frames(demod_frames(
+            params, plan.total, mode_cfg.framer, plan.max_frames, float(fs),
+            window, use_pallas, jre, jim, jnp.asarray(t_next), fest,
+            float(norm_factor), jnp.asarray(bounds, dt))))
     frames.sort(key=lambda f: f.time)
     return frames
 

@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--b", type=int, default=128)
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--core", type=int, default=98304)
+    ap.add_argument("--impl", default="fused", choices=["fused", "fused2"])
     args = ap.parse_args()
 
     import jax
@@ -40,8 +41,12 @@ def main():
     from project_desert_tortoise_tpu.parallel import blocked as BL
     from project_desert_tortoise_tpu.ops import manchester as man_ops
     from project_desert_tortoise_tpu.ops import pll as pll_ops
-    from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
-        fused_demod_pallas)
+    if args.impl == "fused2":
+        from project_desert_tortoise_tpu.ops.pallas.fused_kernel2 import (
+            fused_demod_pallas2 as fused_demod_pallas)
+    else:
+        from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
+            fused_demod_pallas)
     from project_desert_tortoise_tpu.utils import wav as W
     from project_desert_tortoise_tpu.utils.config import POES_TIP
 
@@ -99,10 +104,20 @@ def main():
     # end-to-end via demod_blocks for cross-check
     def e2e():
         out = BL.demod_blocks(params, total, jre, jim, float(fs), jtn,
-                              fest, 17.58, args.window, "fused")
+                              fest, 17.58, args.window, args.impl)
         return out
     ms, _ = timeit(e2e, lambda o: o[2])
-    print(f"demod_blocks(fused) {ms*1e3:8.2f} ms -> {n_samp/ms/1e6:8.1f} Msps")
+    print(f"demod_blocks({args.impl}) {ms*1e3:8.2f} ms -> {n_samp/ms/1e6:8.1f} Msps")
+
+    # FULL single-dispatch path incl. framing + stitching
+    def full():
+        out = BL.demod_frames(params, total, POES_TIP.framer,
+                              plan.max_frames, float(fs), args.window,
+                              args.impl, jre, jim, jtn, fest, 17.58, jb)
+        return out
+    ms, st = timeit(full, lambda o: o[3])
+    print(f"demod_frames({args.impl}) {ms*1e3:8.2f} ms -> {n_samp/ms/1e6:8.1f} Msps  "
+          f"frames={int(np.asarray(st[3]))}")
 
     # host staging cost
     t0 = time.perf_counter()
