@@ -57,10 +57,16 @@ def run_bench(batch_blocks: int, iters: int):
     core = int(os.environ.get("PDT_BENCH_CORE", 98304))
     plan = BL.BlockPlan(core=core, head=12288, tail=8192, max_frames=64)
     B = int(os.environ.get("PDT_BENCH_B", batch_blocks))
-    window = int(os.environ.get("PDT_BENCH_WINDOW", 4096))
-    up = os.environ.get("PDT_BENCH_PALLAS", "0")
+    # default to the best tuned TPU config (tune_results.json, round 2):
+    # the fused Pallas kernel needs B % 128 == 0 or demod_blocks silently
+    # falls back to the XLA scan path.
+    up = os.environ.get("PDT_BENCH_PALLAS", "fused" if B % 128 == 0 else "0")
     use_pallas = {"0": False, "1": "front", "front": "front",
-                  "fused": "fused", "fused2": "fused2"}.get(up, False)
+                  "fused": "fused", "fused2": "fused2",
+                  "fused3": "fused3"}.get(up, False)
+    fused_impls = ("fused", "fused2", "fused3")
+    window = int(os.environ.get(
+        "PDT_BENCH_WINDOW", 256 if use_pallas in fused_impls else 4096))
 
     clip = os.path.join("/root/reference", "5sec_clip.wav")
     if os.path.exists(clip):
@@ -129,7 +135,9 @@ def main():
             "error": "device unreachable (transport hang on a 8-float jit)"}))
         return
     result = None
-    for B, iters, budget in [(64, 5, 900), (16, 3, 300)]:
+    # B = 1024 = 8 sublanes x 128 lanes: the fused kernel batches 8
+    # lane-groups into full (8, 128) vregs (tune_results.json round 2)
+    for B, iters, budget in [(1024, 5, 900), (128, 5, 420), (64, 3, 300)]:
         signal.alarm(budget)
         try:
             result = run_bench(B, iters)

@@ -170,7 +170,17 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, tring,
 
     carry0 = (s0[P0:G0], s0[G0:GD], s0[GD:MA], s0[MA:H0],
               s0[H0:R0], s0[R0:T0], s0[T0:n_state])
-    final = jax.lax.fori_loop(0, window, body, carry0, unroll=8)
+    # Mosaic's fori_loop lowering only supports unroll=1 or full unroll;
+    # partial unroll is done by hand (8 samples per loop iteration).
+    UN = 8
+    assert window % UN == 0, window
+
+    def body8(k, carry):
+        for u in range(UN):
+            carry = body(k * UN + u, carry)
+        return carry
+
+    final = jax.lax.fori_loop(0, window // UN, body8, carry0, unroll=1)
     st_scratch[:] = jnp.concatenate(list(final), axis=0)
 
     @pl.when(w == pl.num_programs(1) - 1)

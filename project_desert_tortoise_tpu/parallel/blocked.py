@@ -153,8 +153,11 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         freq=(jnp.asarray(2.0 * np.pi / fs, dt) * freq_est),
         locked=jnp.ones((B,), bool),
     )
-    if use_pallas in ("fused", "fused2") and window and B % 128 == 0:
-        if use_pallas == "fused2":
+    if use_pallas in ("fused", "fused2", "fused3") and window and B % 128 == 0:
+        if use_pallas == "fused3":
+            from project_desert_tortoise_tpu.ops.pallas.fused_kernel3 import (
+                fused_demod_pallas3 as fused_fn)
+        elif use_pallas == "fused2":
             from project_desert_tortoise_tpu.ops.pallas.fused_kernel2 import (
                 fused_demod_pallas2 as fused_fn)
         else:
