@@ -122,7 +122,54 @@ def probe_device():
     assert float(v[0]) == 3.0
 
 
+def _parent():
+    """Probe via sanitized subprocesses (finite claim timeout, hard wall
+    clock) with retries — the round-1 wedge survived because the probe ran
+    in-process under the sitecustomize registration whose claim never times
+    out.  Only after a probe succeeds is the real bench run, in a child
+    that registers with a finite claim timeout so a dying bench can never
+    strand the chip (NOTES_r1.md post-mortem)."""
+    import subprocess
+    try:
+        from tools.tpu_connect import spawn_probe
+    except Exception:
+        return None                  # no axon tooling: run inline
+    if not os.path.exists("/opt/axon/libaxon_pjrt.so"):
+        return None                  # not an axon host: run inline
+    budget = float(os.environ.get("PDT_BENCH_PROBE_BUDGET", "900"))
+    deadline = time.time() + budget
+    ok, msg = False, ""
+    while True:
+        ok, msg = spawn_probe(timeout_s=120)
+        if ok or time.time() + 165 > deadline:
+            break
+        time.sleep(45)               # claims can take minutes to expire
+    if not ok:
+        print(json.dumps({
+            "metric": "poes_demod_throughput", "value": 0.0,
+            "unit": "Msamples/s/chip", "vs_baseline": 0.0,
+            "error": f"device unreachable after retries: {msg[:140]}"}))
+        return 0
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # disable no-timeout auto-reg
+    env.pop("JAX_PLATFORMS", None)
+    env["PDT_BENCH_CHILD"] = "1"
+    r = subprocess.run([sys.executable, "-u", os.path.abspath(__file__)],
+                       env=env, timeout=1800)
+    return r.returncode
+
+
 def main():
+    if os.environ.get("PDT_BENCH_CHILD") != "1":
+        rc = _parent()
+        if rc is not None:
+            return rc
+    else:
+        try:
+            from tools.tpu_connect import fresh_register
+            fresh_register(claim_timeout_s=300)
+        except Exception:
+            pass                     # fall back to the default platform
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(240)
     try:

@@ -140,6 +140,50 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # Weak scaling: fixed work per device (the deployment-relevant metric
+    # for a throughput pipeline — more chips demodulate more channels /
+    # longer recordings, not the same clip faster).  Recording length grows
+    # with the mesh, so per-shard block count is constant.
+    base = None
+    for n_blk in [1, 2, 4, 8]:
+        if n_blk > len(devices):
+            break
+        iq_n, _ = synth.make_poes_recording(
+            n_frames=max(8, n_frames // 8) * n_blk, fs=fs, snr_db=28.0)
+        t_n = W.time_axis(len(iq_n), fs, np.float32)
+        mesh = SH.make_mesh(1, n_blk, devices)
+        params, plan_, re, im, tn, bounds, norm = SH.stage_global(
+            iq_n[None, :], t_n, fs, POES_TIP, mesh, plan)
+        sh = NamedSharding(mesh, P("ch", "blk"))
+        step = SH.sharded_demod_step(params, plan_, POES_TIP.framer, mesh,
+                                     float(fs))
+        args = (jax.device_put(re, sh), jax.device_put(im, sh),
+                jax.device_put(tn, sh),
+                jax.device_put(bounds, NamedSharding(mesh, P("ch", "blk", None))),
+                jax.device_put(norm, NamedSharding(mesh, P(None, None))))
+        t0 = time.perf_counter()
+        out = step(*args)
+        nf = int(np.asarray(out[3]).sum())
+        warm = time.perf_counter() - t0
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = step(*args)
+            _ = np.asarray(out[3])
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        msps = re.shape[1] / dt / 1e6
+        base = base if base is not None else msps
+        eff = msps / (base * n_blk)
+        row = {"metric": "weak_scaling", "devices": n_blk,
+               "value": round(msps, 3), "unit": "Msamples/s",
+               "efficiency_vs_1dev": round(eff, 3),
+               "frames": nf, "step_s": round(dt, 3),
+               "warm_s": round(warm, 1),
+               "backend": str(devices[0].platform)}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
     # Per-device sharded work is invariant in n_blk (each shard demodulates
     # its own blocks after a one-shot halo exchange), so real-chip scaling
     # efficiency is bounded by the collective fraction.  Quantify it:

@@ -40,8 +40,10 @@ polynomial + true-vs-approx angle delta (~0.005 rad worst case from the
 reference's own atan2 approximation).  As with v2, frame-level golden parity
 is the contract (tests/test_pallas_fused3.py, tests/test_golden_poes.py).
 
-Lane-group support: ``B = G * 128`` runs as a ``(G, L // window)`` grid,
-sequential lane-groups of 128; state persists across the window dimension.
+Sublane batching: ``B = S * 128`` packs S independent lane-groups into the
+vreg *sublane* dimension — every (1, S, 128) plane op advances S groups at
+once (S=8 fills the (8, 128) vreg exactly), so the serial chain's latency is
+amortized 8-fold.  State persists across the window grid dimension.
 """
 
 from __future__ import annotations
@@ -80,9 +82,10 @@ def _sincos_folded(e, dt):
 
 
 def _onehot_read(packed, idx):
-    """packed: (K, 128); idx: (1, 128) int32 in [0, K). Exact (one-hot)."""
-    k = packed.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (k, LANES), 0)
+    """packed: (K, S, 128); idx: (1, S, 128) int32 in [0, K).  Exact — a
+    single element survives the mask per (sublane, lane) position."""
+    k, ss = packed.shape[0], packed.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k, ss, LANES), 0)
     return jnp.sum(jnp.where(iota == idx, packed, 0), axis=0, keepdims=True)
 
 
@@ -90,6 +93,7 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, tring, unroll,
             ang_ref, mag_ref, nrm_ref, tn_ref, st_in_ref,
             bit_ref, btime_ref, emit_ref, st_out_ref,
             st_scratch, soft_scr, y_scr):
+    # every plane is (1, S, LANES): S lane-groups batched into vreg sublanes
     (attack, decay, reference, max_gain, min_gain, squelch_thr) = agc_params
     pp = cp.pll
     hist_len = len(poly[0])
@@ -101,7 +105,7 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, tring, unroll,
     T0 = R0 + RING
     n_state = T0 + tring
 
-    w = pl.program_id(1)
+    w = pl.program_id(0)
 
     @pl.when(w == 0)
     def _():
@@ -175,9 +179,9 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, tring, unroll,
     new_tail = soft_scr[pl.ds(window, H)]      # last H softs for next window
 
     # ---- pass B: vectorized polyphase FIR over the whole window ----------
-    se = soft_scr[:]                           # (H + window, LANES)
+    se = soft_scr[:]                           # (H + window, S, LANES)
     for p in range(interp):
-        acc = jnp.zeros((window, LANES), dt)
+        acc = jnp.zeros((window,) + se.shape[1:], dt)
         for m in range(hist_len):
             # hist[m] = soft[i - m]  ->  rows [H - m, H - m + window)
             acc = acc + c(poly[p][m]) * jax.lax.slice_in_dim(
@@ -266,7 +270,7 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, tring, unroll,
         list(final_pll) + [final_tim[0], final_tim[1], final_tim[2],
                            new_tail, final_tim[3], final_tim[4]], axis=0)
 
-    @pl.when(w == pl.num_programs(1) - 1)
+    @pl.when(w == pl.num_programs(0) - 1)
     def _():
         st_out_ref[:] = st_scratch[:]
 
@@ -286,7 +290,7 @@ def fused_demod_pallas3(chain_params, pll_state, agc_gain, z, t_next,
     B, L = zre.shape
     assert B % LANES == 0 and L % window == 0, (B, L, window)
     assert window % unroll == 0, (window, unroll)
-    G = B // LANES
+    S = B // LANES           # lane-groups batched into vreg sublanes
     dt = zre.dtype
     interp = chain_params.interp
     poly = tuple(tuple(r) for r in _polyphase(chain_params.taps, interp))
@@ -309,7 +313,9 @@ def fused_demod_pallas3(chain_params, pll_state, agc_gain, z, t_next,
     nrm = mag * q_rsqrt(mag2)
 
     def to_cols(a):
-        return a.T
+        # (B, L) -> (L, S, LANES): window rows leading, lanes last, the
+        # S lane-groups riding the vreg sublane dimension
+        return jnp.moveaxis(a.reshape(S, LANES, L), -1, 0)
 
     st_in = jnp.zeros((n_state, B), dt)
     st_in = st_in.at[0].set(pll_state.phase)
@@ -319,10 +325,11 @@ def fused_demod_pallas3(chain_params, pll_state, agc_gain, z, t_next,
     st_in = st_in.at[4].set(pll_state.sweep)
     st_in = st_in.at[5].set(pll_state.locked.astype(dt))
     st_in = st_in.at[6].set(agc_gain.astype(dt))
+    st_in = st_in.reshape(n_state, S, LANES)
 
-    grid = (G, L // window)
-    spec_w = pl.BlockSpec((window, LANES), lambda g, w: (w, g))
-    spec_s = pl.BlockSpec((n_state, LANES), lambda g, w: (0, g))
+    grid = (L // window,)
+    spec_w = pl.BlockSpec((window, S, LANES), lambda w: (w, 0, 0))
+    spec_s = pl.BlockSpec((n_state, S, LANES), lambda w: (0, 0, 0))
     bits, btimes, emit, st_out = pl.pallas_call(
         functools.partial(_kernel, chain_params, agc_params, poly, interp,
                           window, chain_params.squelch_position, tring,
@@ -331,18 +338,22 @@ def fused_demod_pallas3(chain_params, pll_state, agc_gain, z, t_next,
         in_specs=[spec_w, spec_w, spec_w, spec_w, spec_s],
         out_specs=[spec_w, spec_w, spec_w, spec_s],
         out_shape=[
-            jax.ShapeDtypeStruct((L, B), dt),
-            jax.ShapeDtypeStruct((L, B), dt),
-            jax.ShapeDtypeStruct((L, B), dt),
-            jax.ShapeDtypeStruct((n_state, B), dt),
+            jax.ShapeDtypeStruct((L, S, LANES), dt),
+            jax.ShapeDtypeStruct((L, S, LANES), dt),
+            jax.ShapeDtypeStruct((L, S, LANES), dt),
+            jax.ShapeDtypeStruct((n_state, S, LANES), dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_state, LANES), dt),
-            pltpu.VMEM((H + window, LANES), dt),
-            pltpu.VMEM((interp, window, LANES), dt),
+            pltpu.VMEM((n_state, S, LANES), dt),
+            pltpu.VMEM((H + window, S, LANES), dt),
+            pltpu.VMEM((interp, window, S, LANES), dt),
         ],
         interpret=interpret,
     )(to_cols(ang), to_cols(mag), to_cols(nrm), to_cols(t_next), st_in)
 
-    avg_phase = st_out[3]
-    return bits.T, btimes.T, emit.T > 0.5, avg_phase
+    def from_tiles(a):
+        return jnp.moveaxis(a, 0, -1).reshape(B, L)
+
+    avg_phase = st_out[3].reshape(B)
+    return (from_tiles(bits), from_tiles(btimes),
+            from_tiles(emit) > 0.5, avg_phase)
