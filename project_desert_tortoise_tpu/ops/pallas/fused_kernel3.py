@@ -90,7 +90,7 @@ def _onehot_read(packed, idx):
 
 
 def _kernel(cp, agc_params, poly, interp, window, squelch_pos, tring, unroll,
-            ang_ref, mag_ref, nrm_ref, tn_ref, st_in_ref,
+            ang_ref, mag_ref, nrm_ref, tn_ref, taps_ref, st_in_ref,
             bit_ref, btime_ref, emit_ref, st_out_ref,
             st_scratch, soft_scr, y_scr):
     # every plane is (1, S, LANES): S lane-groups batched into vreg sublanes
@@ -179,14 +179,19 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, tring, unroll,
     new_tail = soft_scr[pl.ds(window, H)]      # last H softs for next window
 
     # ---- pass B: vectorized polyphase FIR over the whole window ----------
-    se = soft_scr[:]                           # (H + window, S, LANES)
+    # fori over taps bounds liveness to one accumulator + one slice: the
+    # fully unrolled 78-slice accumulation chain kept every window-sized
+    # temporary live and blew the 16M VMEM stack limit (axis 0 of the
+    # (H+window, S, 128) scratch is untiled, so dynamic-offset row slices
+    # are free)
     for p in range(interp):
-        acc = jnp.zeros((window,) + se.shape[1:], dt)
-        for m in range(hist_len):
+        def fir_body(m, acc, _p=p):
+            tap = taps_ref[pl.ds(_p * hist_len + m, 1)]
             # hist[m] = soft[i - m]  ->  rows [H - m, H - m + window)
-            acc = acc + c(poly[p][m]) * jax.lax.slice_in_dim(
-                se, H - m, H - m + window, axis=0)
-        y_scr[p] = acc
+            return acc + tap * soft_scr[pl.ds(H - m, window)]
+        y_scr[p] = jax.lax.fori_loop(
+            0, hist_len, fir_body,
+            jnp.zeros((window,) + soft_scr.shape[1:], dt), unroll=1)
 
     # ---- pass C: serial AGC + Gardner + Manchester ------------------------
     def tim_body(i, carry):
@@ -327,15 +332,20 @@ def fused_demod_pallas3(chain_params, pll_state, agc_gain, z, t_next,
     st_in = st_in.at[6].set(agc_gain.astype(dt))
     st_in = st_in.reshape(n_state, S, LANES)
 
+    taps_in = jnp.broadcast_to(
+        jnp.asarray([t for ph in poly for t in ph], dt)[:, None, None],
+        (interp * hist_len, S, LANES))
+
     grid = (L // window,)
     spec_w = pl.BlockSpec((window, S, LANES), lambda w: (w, 0, 0))
     spec_s = pl.BlockSpec((n_state, S, LANES), lambda w: (0, 0, 0))
+    spec_t = pl.BlockSpec((interp * hist_len, S, LANES), lambda w: (0, 0, 0))
     bits, btimes, emit, st_out = pl.pallas_call(
         functools.partial(_kernel, chain_params, agc_params, poly, interp,
                           window, chain_params.squelch_position, tring,
                           unroll),
         grid=grid,
-        in_specs=[spec_w, spec_w, spec_w, spec_w, spec_s],
+        in_specs=[spec_w, spec_w, spec_w, spec_w, spec_t, spec_s],
         out_specs=[spec_w, spec_w, spec_w, spec_s],
         out_shape=[
             jax.ShapeDtypeStruct((L, S, LANES), dt),
@@ -349,7 +359,8 @@ def fused_demod_pallas3(chain_params, pll_state, agc_gain, z, t_next,
             pltpu.VMEM((interp, window, S, LANES), dt),
         ],
         interpret=interpret,
-    )(to_cols(ang), to_cols(mag), to_cols(nrm), to_cols(t_next), st_in)
+    )(to_cols(ang), to_cols(mag), to_cols(nrm), to_cols(t_next),
+      taps_in, st_in)
 
     def from_tiles(a):
         return jnp.moveaxis(a, 0, -1).reshape(B, L)
