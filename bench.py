@@ -63,8 +63,8 @@ def run_bench(batch_blocks: int, iters: int):
     up = os.environ.get("PDT_BENCH_PALLAS", "fused" if B % 128 == 0 else "0")
     use_pallas = {"0": False, "1": "front", "front": "front",
                   "fused": "fused", "fused2": "fused2",
-                  "fused3": "fused3"}.get(up, False)
-    fused_impls = ("fused", "fused2", "fused3")
+                  "fused3": "fused3", "fused4": "fused4"}.get(up, False)
+    fused_impls = ("fused", "fused2", "fused3", "fused4")
     window = int(os.environ.get(
         "PDT_BENCH_WINDOW", 256 if use_pallas in fused_impls else 4096))
 

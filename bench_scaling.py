@@ -47,7 +47,7 @@ def lane_scaling():
     plan = BL.BlockPlan(core=98304, head=12288, tail=8192, max_frames=64)
     impl = os.environ.get("PDT_BENCH_PALLAS", "fused")
     use_pallas = {"0": False, "front": "front", "fused": "fused",
-                  "fused2": "fused2", "fused3": "fused3"}[impl]
+                  "fused2": "fused2", "fused3": "fused3", "fused4": "fused4"}[impl]
     iq, t, fs, _ = W.load_iq_wav("/root/reference/5sec_clip.wav")
     re0 = np.real(iq).astype(dt)
     im0 = np.imag(iq).astype(dt)

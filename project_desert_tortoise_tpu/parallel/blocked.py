@@ -153,8 +153,12 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         freq=(jnp.asarray(2.0 * np.pi / fs, dt) * freq_est),
         locked=jnp.ones((B,), bool),
     )
-    if use_pallas in ("fused", "fused2", "fused3") and window and B % 128 == 0:
-        if use_pallas == "fused3":
+    if (use_pallas in ("fused", "fused2", "fused3", "fused4")
+            and window and B % 128 == 0):
+        if use_pallas == "fused4":
+            from project_desert_tortoise_tpu.ops.pallas.fused_kernel4 import (
+                fused_demod_pallas4 as fused_fn)
+        elif use_pallas == "fused3":
             from project_desert_tortoise_tpu.ops.pallas.fused_kernel3 import (
                 fused_demod_pallas3 as fused_fn)
         elif use_pallas == "fused2":
