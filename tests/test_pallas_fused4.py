@@ -86,3 +86,39 @@ def test_fused4_golden_clip_compiled(poes_clip, oracle_frames):
         if line is not None and line.endswith(body):
             matched += 1
     assert matched >= len(complete) - 1, (matched, len(complete))
+
+
+def test_v4_interp1_argos_vs_v1():
+    """interp == 1 (ARGOS fast-path shape, 50-tap FIR, after-AGC squelch):
+    v4's emitted bits and timestamps must match the v1 kernel's."""
+    from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
+        fused_demod_pallas)
+    from project_desert_tortoise_tpu.utils.config import ARGOS
+    fs = 32000.0
+    params = chain_lib.make_params(ARGOS, fs, quirks=False)
+    B, L = 128, 1024
+    rng = np.random.default_rng(1)
+    sym = rng.choice([-1.0, 1.0], size=(B, L // 40 + 2))
+    base = np.repeat(sym, 40, axis=1)[:, :L]
+    re = jnp.asarray((base * 0.01
+                      + 0.001 * rng.standard_normal((B, L))).astype(np.float32))
+    im = jnp.asarray((0.001 * rng.standard_normal((B, L))).astype(np.float32))
+    tn = jnp.asarray(np.tile(np.arange(L, dtype=np.float32) / fs, (B, 1)))
+    pst = P.init_state(params.pll, jnp.float32, (B,))
+    gain0 = jnp.full((B,), 50.0, jnp.float32)
+
+    b1, t1, e1, _ = fused_demod_pallas(params, pst, gain0, (re, im), tn,
+                                       window=256, interpret=True)
+    b4, t4, e4, _ = fused_demod_pallas4(params, pst, gain0, (re, im), tn,
+                                        window=256, interpret=True)
+    agree = total = 0
+    for k in range(B):
+        va = np.asarray(b1[k])[np.asarray(e1[k])]
+        ta = np.asarray(t1[k])[np.asarray(e1[k])]
+        vb = np.asarray(b4[k])[np.asarray(e4[k])]
+        tb = np.asarray(t4[k])[np.asarray(e4[k])]
+        n = min(len(va), len(vb))
+        assert abs(len(va) - len(vb)) <= 2
+        agree += int(((va[:n] == vb[:n]) & (ta[:n] == tb[:n])).sum())
+        total += n
+    assert agree / total >= 0.99, (agree, total)
