@@ -1,20 +1,35 @@
 #!/usr/bin/env python3
 """Benchmark: POES TIP full-chain demod throughput on one TPU chip.
 
-Measures the block-parallel fast path (PLL + FIR-interp + AGC + Gardner +
-Manchester + bit compression) end to end over real golden-clip IQ data, with
-honest dispatch-to-fetch timing (the axon relay's block_until_ready is
-unreliable, so every timed iteration fetches a result to the host).
+Two metrics in one JSON line:
+  - kernel throughput: the block-parallel fast path (PLL + FIR-interp + AGC +
+    Gardner + Manchester + bit compression) over real golden-clip IQ staged on
+    device, dispatch-to-fetch timing (the axon relay's block_until_ready is
+    unreliable, so every timed iteration fetches a result to the host);
+  - end-to-end throughput: wav samples -> extracted minor frames, wall clock
+    including host staging, coarse carrier estimate, device transfer, demod,
+    framing/stitching, and the frame fetch (the reference's own figure of
+    merit is a whole-file elapsed-seconds run, POESTIPdemod/main.c:500).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": Msps, "unit": ..., "vs_baseline": x}
+  {"metric": ..., "value": Msps, "unit": ..., "vs_baseline": x, "e2e_msps": y}
 vs_baseline is against the reference C demodulator compiled and timed on this
 machine (oracle/c_baseline.json; 3.46 Msps through the same chain).
+
+Transport discipline (round-3 redesign, VERDICT r2 item 1): the round-1/2
+zero-value scoreboard entries were caused by the probe subprocess and the
+measurement child holding SEPARATE axon registrations — the probe's claim
+lingered for minutes after its exit and blocked the child's registration.
+Now ONE child process registers ONCE (finite claim timeout) and does probe
+AND measurement under that single claim.  The parent only retries spawning
+the child (a failed-probe child exits before any long-lived claim matters)
+and never touches the device itself.
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
@@ -31,6 +46,9 @@ try:
 except Exception:
     pass
 
+ZERO = {"metric": "poes_demod_throughput", "value": 0.0,
+        "unit": "Msamples/s/chip", "vs_baseline": 0.0}
+
 
 class Timeout(Exception):
     pass
@@ -40,34 +58,19 @@ def _alarm(sig, frm):
     raise Timeout()
 
 
-def run_bench(batch_blocks: int, iters: int):
-    """Env overrides for tuning: PDT_BENCH_B, PDT_BENCH_WINDOW,
-    PDT_BENCH_PALLAS=1, PDT_BENCH_CORE."""
-    import jax
-    import jax.numpy as jnp
-    from project_desert_tortoise_tpu import chain as chain_lib
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+# --------------------------------------------------------------------------
+# measurement (runs in the registered child, or inline off-axon)
+# --------------------------------------------------------------------------
+
+def _stage_inputs(plan, B, dt):
     from project_desert_tortoise_tpu.parallel import blocked as BL
     from project_desert_tortoise_tpu.utils import wav as W
-    from project_desert_tortoise_tpu.utils.config import POES_TIP
 
     fs = 50000.0
-    dt = np.dtype(np.float32)
-    params = chain_lib.make_params(POES_TIP, fs, quirks=False)
-    # 4096-aligned plan so the VMEM-windowed scans divide evenly
-    core = int(os.environ.get("PDT_BENCH_CORE", 98304))
-    plan = BL.BlockPlan(core=core, head=12288, tail=8192, max_frames=64)
-    B = int(os.environ.get("PDT_BENCH_B", batch_blocks))
-    # default to the best tuned TPU config (tune_results.json, round 2):
-    # the fused Pallas kernel needs B % 128 == 0 or demod_blocks silently
-    # falls back to the XLA scan path.
-    up = os.environ.get("PDT_BENCH_PALLAS", "fused" if B % 128 == 0 else "0")
-    use_pallas = {"0": False, "1": "front", "front": "front",
-                  "fused": "fused", "fused2": "fused2",
-                  "fused3": "fused3", "fused4": "fused4"}.get(up, False)
-    fused_impls = ("fused", "fused2", "fused3", "fused4")
-    window = int(os.environ.get(
-        "PDT_BENCH_WINDOW", 256 if use_pallas in fused_impls else 4096))
-
     clip = os.path.join("/root/reference", "5sec_clip.wav")
     if os.path.exists(clip):
         iq, t, fs, _ = W.load_iq_wav(clip)
@@ -82,6 +85,37 @@ def run_bench(batch_blocks: int, iters: int):
     rr = np.tile(re, reps)
     ii = np.tile(im, reps)
     tt = W.time_axis(len(rr) + 1, fs, dt)
+    return rr, ii, tt, fs
+
+
+def run_bench(batch_blocks: int, iters: int):
+    """Env overrides for tuning: PDT_BENCH_B, PDT_BENCH_WINDOW,
+    PDT_BENCH_PALLAS=fused|fused4|0, PDT_BENCH_CORE."""
+    import jax
+    import jax.numpy as jnp
+    from project_desert_tortoise_tpu import chain as chain_lib
+    from project_desert_tortoise_tpu.parallel import blocked as BL
+    from project_desert_tortoise_tpu.utils.config import POES_TIP
+
+    dt = np.dtype(np.float32)
+    fs = 50000.0
+    params = chain_lib.make_params(POES_TIP, fs, quirks=False)
+    # 4096-aligned plan so the VMEM-windowed scans divide evenly
+    core = int(os.environ.get("PDT_BENCH_CORE", 98304))
+    plan = BL.BlockPlan(core=core, head=12288, tail=8192, max_frames=64)
+    B = int(os.environ.get("PDT_BENCH_B", batch_blocks))
+    # default to the best tuned TPU config (tune_results.json): the fused
+    # Pallas kernel needs B % 128 == 0 or demod_blocks silently falls back
+    # to the XLA scan path.
+    up = os.environ.get("PDT_BENCH_PALLAS", "fused" if B % 128 == 0 else "0")
+    use_pallas = {"0": False, "1": "front", "front": "front",
+                  "fused": "fused", "fused2": "fused2",
+                  "fused3": "fused3", "fused4": "fused4"}.get(up, False)
+    fused_impls = ("fused", "fused2", "fused3", "fused4")
+    window = int(os.environ.get(
+        "PDT_BENCH_WINDOW", 256 if use_pallas in fused_impls else 4096))
+
+    rr, ii, tt, fs = _stage_inputs(plan, B, dt)
     brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
 
     jre, jim, jtn = jnp.asarray(brs), jnp.asarray(bis), jnp.asarray(tn)
@@ -111,80 +145,96 @@ def run_bench(batch_blocks: int, iters: int):
     fb = BL.extract_frames(POES_TIP.framer, plan.max_frames, *out[:3])
     n_frames = int(np.asarray(fb.count).sum())
     dev = str(jax.devices()[0])
-    return msps, med, n_frames, dev
+    return {"msps": msps, "med": med, "n_frames": n_frames, "dev": dev,
+            "B": B, "window": window, "impl": str(use_pallas),
+            "plan": plan, "params": params, "staged": (rr, ii, tt, fs)}
 
 
-def probe_device():
-    """Tiny end-to-end device touch; raises Timeout if the transport hangs."""
-    import jax
+def run_e2e(kres):
+    """Whole-file wall clock: wav samples -> stitched frames on the host.
+
+    Times everything the reference's elapsed-seconds figure covers
+    (POESTIPdemod/main.c:500): host block staging, device transfer, carrier
+    estimate, the full demod + framing + stitching dispatch, and the frame
+    fetch.  Reuses the already-compiled kernels from run_bench where shapes
+    match (same B/window/plan), so this measures steady-state serving, not
+    compile time."""
     import jax.numpy as jnp
-    v = np.asarray(jax.jit(lambda a: a * 2 + 1)(jnp.ones(8)))
-    assert float(v[0]) == 3.0
+    from project_desert_tortoise_tpu.parallel import blocked as BL
+    from project_desert_tortoise_tpu.utils.config import POES_TIP
+
+    dt = np.dtype(np.float32)
+    plan, params = kres["plan"], kres["params"]
+    B, window, impl = kres["B"], kres["window"], kres["impl"]
+    use_pallas = False if impl == "False" else impl
+    rr, ii, tt, fs = kres["staged"]
+    n = B * plan.core
+    rr, ii = rr[:n + plan.tail], ii[:n + plan.tail]
+
+    # warm/compile the fused demod+frame+stitch graph once (not timed)
+    brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
+    jre, jim = jnp.asarray(brs), jnp.asarray(bis)
+    fest = BL.coarse_carrier_est(jre, jim, float(fs), 8320.0)
+    warm = BL.demod_frames(params, plan.total, POES_TIP.framer,
+                           plan.max_frames, float(fs), window, use_pallas,
+                           jre, jim, jnp.asarray(tn), fest, 17.58,
+                           jnp.asarray(bounds, dt))
+    _ = [np.asarray(x) for x in warm]
+
+    t0 = time.perf_counter()
+    brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
+    jre, jim = jnp.asarray(brs), jnp.asarray(bis)
+    fest = BL.coarse_carrier_est(jre, jim, float(fs), 8320.0)
+    stitched = BL.demod_frames(params, plan.total, POES_TIP.framer,
+                               plan.max_frames, float(fs), window, use_pallas,
+                               jre, jim, jnp.asarray(tn), fest, 17.58,
+                               jnp.asarray(bounds, dt))
+    frames = BL._fetch_frames(stitched)
+    wall = time.perf_counter() - t0
+    return {"e2e_msps": n / wall / 1e6, "e2e_wall_s": wall,
+            "e2e_frames": len(frames)}
 
 
-def _parent():
-    """Probe via sanitized subprocesses (finite claim timeout, hard wall
-    clock) with retries — the round-1 wedge survived because the probe ran
-    in-process under the sitecustomize registration whose claim never times
-    out.  Only after a probe succeeds is the real bench run, in a child
-    that registers with a finite claim timeout so a dying bench can never
-    strand the chip (NOTES_r1.md post-mortem)."""
-    import subprocess
-    try:
-        from tools.tpu_connect import spawn_probe
-    except Exception:
-        return None                  # no axon tooling: run inline
-    if not os.path.exists("/opt/axon/libaxon_pjrt.so"):
-        return None                  # not an axon host: run inline
-    budget = float(os.environ.get("PDT_BENCH_PROBE_BUDGET", "900"))
-    deadline = time.time() + budget
-    ok, msg = False, ""
-    while True:
-        ok, msg = spawn_probe(timeout_s=120)
-        if ok or time.time() + 165 > deadline:
-            break
-        time.sleep(45)               # claims can take minutes to expire
-    if not ok:
-        print(json.dumps({
-            "metric": "poes_demod_throughput", "value": 0.0,
-            "unit": "Msamples/s/chip", "vs_baseline": 0.0,
-            "error": f"device unreachable after retries: {msg[:140]}"}))
-        return 0
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)   # disable no-timeout auto-reg
-    env.pop("JAX_PLATFORMS", None)
-    env["PDT_BENCH_CHILD"] = "1"
-    r = subprocess.run([sys.executable, "-u", os.path.abspath(__file__)],
-                       env=env, timeout=1800)
-    return r.returncode
-
-
-def main():
-    if os.environ.get("PDT_BENCH_CHILD") != "1":
-        rc = _parent()
-        if rc is not None:
-            return rc
-    else:
+def child_main():
+    """Single process, single registration: probe THEN measure."""
+    os.chdir(REPO)
+    cache = os.path.join(REPO, ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    if os.environ.get("PDT_BENCH_CHILD") == "1":
+        # spawned by the axon parent (sanitized env): register ONCE with a
+        # finite claim timeout; probe and measurement share this claim.
         try:
             from tools.tpu_connect import fresh_register
             fresh_register(claim_timeout_s=300)
         except Exception:
-            pass                     # fall back to the default platform
+            pass  # fall back to the default platform
+
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(240)
+    # first axon connect can take 3-6 min (observed round 3: a 150 s probe
+    # timed out twice, then a 500 s probe succeeded) — be patient here; the
+    # parent's retry loop handles genuinely dead tunnels
+    signal.alarm(int(os.environ.get("PDT_BENCH_PROBE_ALARM", "360")))
     try:
-        probe_device()
+        import jax
+        import jax.numpy as jnp
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache)
+        except Exception:
+            pass
+        v = np.asarray(jax.jit(lambda a: a * 2 + 1)(jnp.ones(8)))
+        assert float(v[0]) == 3.0
         signal.alarm(0)
     except Timeout:
-        print(json.dumps({
-            "metric": "poes_demod_throughput", "value": 0.0,
-            "unit": "Msamples/s/chip", "vs_baseline": 0.0,
-            "error": "device unreachable (transport hang on a 8-float jit)"}))
-        return
+        return 3  # probe failed: no JSON, parent retries
+    except Exception:
+        return 3
+
     result = None
     # B = 1024 = 8 sublanes x 128 lanes: the fused kernel batches 8
-    # lane-groups into full (8, 128) vregs (tune_results.json round 2)
-    for B, iters, budget in [(1024, 5, 900), (128, 5, 420), (64, 3, 300)]:
+    # lane-groups into full (8, 128) vregs (tune_results.json)
+    for B, iters, budget in [(1024, 5, 1200), (128, 5, 420), (64, 3, 300)]:
         signal.alarm(budget)
         try:
             result = run_bench(B, iters)
@@ -194,28 +244,96 @@ def main():
             continue
         except Exception as e:  # noqa: BLE001
             signal.alarm(0)
-            print(json.dumps({
-                "metric": "poes_demod_throughput", "value": 0.0,
-                "unit": "Msamples/s/chip", "vs_baseline": 0.0,
-                "error": f"{type(e).__name__}: {e}"[:200]}))
-            return
+            _emit({**ZERO, "error": f"{type(e).__name__}: {e}"[:200]})
+            return 0
     if result is None:
-        print(json.dumps({
-            "metric": "poes_demod_throughput", "value": 0.0,
-            "unit": "Msamples/s/chip", "vs_baseline": 0.0,
-            "error": "timeout"}))
-        return
-    msps, med, n_frames, dev = result
-    print(json.dumps({
+        _emit({**ZERO, "error": "measurement timeout (post-probe)"})
+        return 0
+
+    line = {
         "metric": "poes_demod_throughput",
-        "value": round(msps, 2),
+        "value": round(result["msps"], 2),
         "unit": "Msamples/s/chip",
-        "vs_baseline": round(msps / BASELINE_MSPS, 2),
-        "step_ms": round(med * 1e3, 2),
-        "frames_decoded": n_frames,
-        "device": dev,
-    }))
+        "vs_baseline": round(result["msps"] / BASELINE_MSPS, 2),
+        "step_ms": round(result["med"] * 1e3, 2),
+        "frames_decoded": result["n_frames"],
+        "impl": result["impl"], "B": result["B"],
+        "device": result["dev"],
+    }
+    # E2E row under its own alarm: never sacrifice the kernel number
+    signal.alarm(int(os.environ.get("PDT_BENCH_E2E_ALARM", "420")))
+    try:
+        e2e = run_e2e(result)
+        signal.alarm(0)
+        line["e2e_msps"] = round(e2e["e2e_msps"], 2)
+        line["e2e_wall_s"] = round(e2e["e2e_wall_s"], 3)
+        line["e2e_vs_baseline"] = round(e2e["e2e_msps"] / BASELINE_MSPS, 2)
+        line["e2e_frames"] = e2e["e2e_frames"]
+    except Timeout:
+        line["e2e_error"] = "timeout"
+    except Exception as e:  # noqa: BLE001
+        signal.alarm(0)
+        line["e2e_error"] = f"{type(e).__name__}: {e}"[:120]
+    _emit(line)
+    return 0
+
+
+# --------------------------------------------------------------------------
+# parent: spawn/retry the child; never touches the device itself
+# --------------------------------------------------------------------------
+
+def _parent():
+    if not os.path.exists("/opt/axon/libaxon_pjrt.so") or \
+            not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return child_main()          # not an axon host: run inline
+
+    budget = float(os.environ.get("PDT_BENCH_BUDGET", "2300"))
+    deadline = time.time() + budget
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # disable no-timeout auto-reg
+    env.pop("JAX_PLATFORMS", None)
+    env["PDT_BENCH_CHILD"] = "1"
+    last_out, attempt = "", 0
+    while True:
+        attempt += 1
+        remain = deadline - time.time()
+        if remain < 180:
+            break
+        try:
+            r = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=min(remain, 2100))
+        except subprocess.TimeoutExpired as e:
+            last_out = ((e.stdout or "") if isinstance(e.stdout, str)
+                        else (e.stdout or b"").decode("utf-8", "replace"))
+            break
+        out = (r.stdout or "")
+        last_out = out
+        jl = [l for l in out.splitlines() if l.startswith("{")]
+        if jl:
+            print(jl[-1], flush=True)
+            return 0
+        if r.returncode != 3:        # hard failure, not a probe miss
+            err = ((r.stderr or "").strip().splitlines() or ["?"])[-1]
+            _emit({**ZERO, "error": f"child rc={r.returncode}: {err[:160]}"})
+            return 0
+        # probe miss: wait for any lingering claim to expire, then retry
+        time.sleep(min(75.0, max(5.0, deadline - time.time() - 165)))
+    jl = [l for l in (last_out or "").splitlines() if l.startswith("{")]
+    if jl:
+        print(jl[-1], flush=True)
+    else:
+        _emit({**ZERO,
+               "error": f"device unreachable after {attempt} attempts"})
+    return 0
+
+
+def main():
+    if os.environ.get("PDT_BENCH_CHILD") == "1":
+        return child_main()
+    return _parent()
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -27,6 +27,12 @@ def static_gain(iq: np.ndarray, desired_level: float, dtype=np.float32) -> float
     for m in mags:
         # C: avg = (avg + |z|) / 2.0 — double intermediate, stored DECIMAL_TYPE
         avg = dt.type((np.float64(avg) + np.float64(m)) / 2.0)
+    if avg == 0.0:
+        # Silent/empty input: the C oracle divides by zero and carries inf
+        # through a chain that decodes nothing (garbage tolerated,
+        # AGC.c:48-75).  Emit unity gain instead of inf — same no-frames
+        # outcome, no IEEE garbage in the stream.
+        return 1.0
     return float(dt.type(np.float64(desired_level) / np.float64(avg)))
 
 
@@ -44,7 +50,8 @@ def static_gain_fast(iq, desired_level: float):
         mags[..., -k:].astype(jnp.float32)
     w = (2.0 ** jnp.arange(-k, 0, dtype=tail.dtype))
     avg = jnp.sum(tail * w, axis=-1)
-    return desired_level / avg
+    return jnp.where(avg > 0, desired_level / jnp.where(avg > 0, avg, 1.0),
+                     jnp.ones((), avg.dtype))
 
 
 class AGCState(NamedTuple):

@@ -144,7 +144,7 @@ def mm_scan(state, x, t, n, fs: float, baud: float, step_range: float,
 def gardner_manchester_windowed(g_state, m_state, x, t, n, step_size: float,
                                 err_limit: float, kp: float,
                                 resync_threshold: float, window: int,
-                                margin: int = 16, unroll: int = 2):
+                                margin: int = None, unroll: int = 2):
     """Fused Gardner + Manchester over VMEM-sized windows — the fast path.
 
     The monolithic `gardner_scan` gathers from the whole (B, cap) array every
@@ -163,6 +163,12 @@ def gardner_manchester_windowed(g_state, m_state, x, t, n, step_size: float,
 
     dt = x.dtype
     cap = x.shape[-1]
+    if margin is None:
+        # the mid-bit sample lies step_size/2 behind the on-time read; a
+        # fixed margin of 16 lost that read near window starts for
+        # interp==1 modes (step 40 -> offset 20), silently zeroing the TED
+        # error there (round-3 fix, mirrors fused_kernel.ring_size)
+        margin = max(16, int(np.ceil(step_size / 2.0 + err_limit)) + 2)
     assert cap % window == 0, (cap, window)
     n_win = cap // window
     spw = int(window / step_size * 1.08) + 4

@@ -30,19 +30,28 @@ from project_desert_tortoise_tpu.ops.fastmath import sign
 from project_desert_tortoise_tpu.ops.pallas.chain_kernel import _polyphase
 
 LANES = 128
-RING = 16
+
+
+def ring_size(step_size: float, err_limit: float, interp: int) -> int:
+    """Mid-bit history depth: the Gardner half-sample lies ``step_size/2``
+    outputs behind the newest, plus timing-error slack.  16 covers POES
+    (step ~9); ARGOS needs 26 (step 40 -> half offset 20) — with a fixed
+    RING=16 the interp==1 modes silently read hval=0 and the timing loop
+    free-ran (round-3 bug fix, caught by test_blocked_argos line parity)."""
+    need = int(np.ceil(step_size / 2.0 + err_limit)) + interp + 2
+    return max(16, -(-need // 2) * 2)
 
 
 def _ring_read(ring_planes, age):
     """age: (S,128) int32, 0 = newest; unrolled compare-select over the
     shift-register ring."""
     acc = jnp.zeros_like(ring_planes[0])
-    for k in range(RING):
+    for k in range(len(ring_planes)):
         acc = jnp.where(age == k, ring_planes[k], acc)
     return acc
 
 
-def _kernel(cp, agc_params, poly, interp, window, squelch_pos,
+def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
             re_ref, im_ref, tn_ref, st_in_ref,
             bit_ref, btime_ref, emit_ref, st_out_ref, st_scratch):
     (attack, decay, reference, max_gain, min_gain, squelch_thr) = agc_params
@@ -51,9 +60,9 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos,
     P0 = 0           # PLL: 6
     H0 = 6           # FIR history: hist_len
     G0 = H0 + hist_len            # AGC gain: 1
-    R0 = G0 + 1                   # ring values: RING
-    T0 = R0 + RING                # ring times: RING
-    GD = T0 + RING                # gardner ns, half, prev: 3
+    R0 = G0 + 1                   # ring values: ring
+    T0 = R0 + ring                # ring times: ring
+    GD = T0 + ring                # gardner ns, half, prev: 3
     MA = GD + 3                   # manchester clockmod, evenodd, cur, prev, prevprev: 5
 
     w = pl.program_id(0)
@@ -80,8 +89,8 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos,
 
         hist = [soft] + [s[H0 + m] for m in range(hist_len - 1)]
         gain = s[G0]
-        ring_v = [s[R0 + k] for k in range(RING)]
-        ring_t = [s[T0 + k] for k in range(RING)]
+        ring_v = [s[R0 + k] for k in range(ring)]
+        ring_t = [s[T0 + k] for k in range(ring)]
         tval_in = tn_ref[i]
 
         # ring is a shift register, entry k = interp output at age k
@@ -101,8 +110,8 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos,
             if squelch_pos == "after_agc":
                 y = jnp.where(lock < c(squelch_thr), jnp.zeros_like(y), y)
             produced.append(y)
-        ring_v = produced[::-1] + ring_v[:RING - interp]
-        ring_t = [tval_in] * interp + ring_t[:RING - interp]
+        ring_v = produced[::-1] + ring_v[:ring - interp]
+        ring_t = [tval_in] * interp + ring_t[:ring - interp]
 
         # --- Gardner: emit at most one symbol this input sample ---
         ns, half_raw, prev_bit = s[GD], s[GD + 1], s[GD + 2]
@@ -110,14 +119,14 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos,
         target = jnp.round(ns)
         emit_sym = target <= j_hi
         tgt_i = jnp.maximum(target.astype(jnp.int32), 0)
-        age = jnp.clip(j_hi - tgt_i, 0, RING - 1)
+        age = jnp.clip(j_hi - tgt_i, 0, ring - 1)
         cur = _ring_read(ring_v, age)
         sym_t = _ring_read(ring_t, age)
         hidx = jnp.round(half_raw).astype(jnp.int32)
         hage = j_hi - hidx
-        h_in_ring = (hidx >= 0) & (hage >= 0) & (hage < RING)
+        h_in_ring = (hidx >= 0) & (hage >= 0) & (hage < ring)
         hval = jnp.where(h_in_ring,
-                         _ring_read(ring_v, jnp.clip(hage, 0, RING - 1)),
+                         _ring_read(ring_v, jnp.clip(hage, 0, ring - 1)),
                          jnp.zeros_like(cur))
 
         err = jnp.clip(c(cp.gardner_gain) * (cur - prev_bit) * hval,
@@ -189,7 +198,9 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     interp = chain_params.interp
     poly = tuple(tuple(r) for r in _polyphase(chain_params.taps, interp))
     hist_len = len(poly[0])
-    n_state = 6 + hist_len + 1 + 2 * RING + 3 + 5
+    ring = ring_size(chain_params.step_size, chain_params.gardner_err_limit,
+                     interp)
+    n_state = 6 + hist_len + 1 + 2 * ring + 3 + 5
 
     agc_params = (chain_params.agc_attack, chain_params.agc_decay,
                   1.0, 5000.0, 10e-5, chain_params.squelch_threshold or 0.0)
@@ -201,7 +212,7 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
         jnp.stack([pll_state.phase, pll_state.freq, pll_state.locksig,
                    pll_state.avg_phase, pll_state.sweep,
                    pll_state.locked.astype(dt)]),
-        jnp.zeros((hist_len + 1 + 2 * RING + 3 + 5, B), dt)
+        jnp.zeros((hist_len + 1 + 2 * ring + 3 + 5, B), dt)
         .at[hist_len].set(agc_gain.astype(dt)),
     ]).reshape(n_state, S, LANES)
 
@@ -210,7 +221,7 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     spec_s = pl.BlockSpec((n_state, S, LANES), lambda w: (0, 0, 0))
     bits, btimes, emit, st_out = pl.pallas_call(
         functools.partial(_kernel, chain_params, agc_params, poly, interp,
-                          window, chain_params.squelch_position),
+                          window, chain_params.squelch_position, ring),
         grid=grid,
         in_specs=[spec_w, spec_w, spec_w, spec_s],
         out_specs=[spec_w, spec_w, spec_w, spec_s],

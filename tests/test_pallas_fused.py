@@ -54,14 +54,20 @@ def test_fused_matches_xla_all_lanes():
 
 
 def test_fused_golden_clip_compiled(poes_clip, oracle_frames):
-    """Compiled fused kernel (CPU lowering) on the real golden clip must
-    reproduce every oracle frame byte-identically."""
+    """Fused kernel via demod_blocks (Pallas interpreter on CPU) on the real
+    golden clip must reproduce every oracle frame byte-identically.
+
+    The recording is tiled so n_blocks >= batch_blocks == 128 — demod_blocks
+    silently falls back to the XLA path when B % 128 != 0, which this test
+    must not let happen (round-3 fix: 3 tiles gave only 92 blocks, so the
+    kernel never actually engaged here)."""
     from project_desert_tortoise_tpu.parallel.blocked import (BlockPlan,
                                                               demodulate_blocked)
     from project_desert_tortoise_tpu.utils import wav as W
     iq, t, fs = poes_clip
     plan = BlockPlan(core=8192, head=12288, tail=8192, max_frames=8)
-    iq3 = np.tile(iq, 3)   # >=128 blocks so the kernel's lane tiling engages
+    reps = -(-128 * plan.core // len(iq))   # >=128 blocks: lane tiling engages
+    iq3 = np.tile(iq, reps)
     t3 = W.time_axis(len(iq3), fs, np.float32)
     frames = demodulate_blocked(iq3, t3, fs, POES_TIP, plan=plan,
                                 batch_blocks=128, window=512,
@@ -113,6 +119,13 @@ def test_fused_interp1_argos_shape():
 
     for k in range(0, B, 17):
         a = np.asarray(bits1[k])[np.asarray(em1[k])]
+        ta = np.asarray(bt1[k])[np.asarray(em1[k])]
         b = np.asarray(bits2[k])[np.asarray(em2[k])]
+        tb = np.asarray(bt2[k])[np.asarray(em2[k])]
         assert len(a) == len(b)
         assert np.array_equal(a, b.astype(np.uint8))
+        # times must match too: with the pre-round-3 fixed RING=16 the
+        # kernel's Gardner mid-bit read fell off the ring for step 40 and
+        # the timing loop silently free-ran (bits still matched on clean
+        # data, times did not)
+        assert np.array_equal(ta, tb)
