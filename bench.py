@@ -90,7 +90,7 @@ def _stage_inputs(plan, B, dt):
 
 def run_bench(batch_blocks: int, iters: int):
     """Env overrides for tuning: PDT_BENCH_B, PDT_BENCH_WINDOW,
-    PDT_BENCH_PALLAS=fused|fused4|0, PDT_BENCH_CORE."""
+    PDT_BENCH_PALLAS=fused|front|0, PDT_BENCH_CORE."""
     import jax
     import jax.numpy as jnp
     from project_desert_tortoise_tpu import chain as chain_lib
@@ -109,11 +109,9 @@ def run_bench(batch_blocks: int, iters: int):
     # to the XLA scan path.
     up = os.environ.get("PDT_BENCH_PALLAS", "fused" if B % 128 == 0 else "0")
     use_pallas = {"0": False, "1": "front", "front": "front",
-                  "fused": "fused", "fused2": "fused2",
-                  "fused3": "fused3", "fused4": "fused4"}.get(up, False)
-    fused_impls = ("fused", "fused2", "fused3", "fused4")
+                  "fused": "fused"}.get(up, False)
     window = int(os.environ.get(
-        "PDT_BENCH_WINDOW", 256 if use_pallas in fused_impls else 4096))
+        "PDT_BENCH_WINDOW", 256 if use_pallas == "fused" else 4096))
 
     rr, ii, tt, fs = _stage_inputs(plan, B, dt)
     brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
@@ -183,16 +181,25 @@ def run_e2e(kres):
 
     t0 = time.perf_counter()
     brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
-    jre, jim = jnp.asarray(brs), jnp.asarray(bis)
+    t1 = time.perf_counter()
+    jre, jim, jtn = jnp.asarray(brs), jnp.asarray(bis), jnp.asarray(tn)
+    _ = np.asarray(jre[0, :1])      # force the host->device transfer
+    _ = np.asarray(jtn[0, :1])
+    t2 = time.perf_counter()
     fest = BL.coarse_carrier_est(jre, jim, float(fs), 8320.0)
     stitched = BL.demod_frames(params, plan.total, POES_TIP.framer,
                                plan.max_frames, float(fs), window, use_pallas,
-                               jre, jim, jnp.asarray(tn), fest, 17.58,
+                               jre, jim, jtn, fest, 17.58,
                                jnp.asarray(bounds, dt))
     frames = BL._fetch_frames(stitched)
-    wall = time.perf_counter() - t0
+    t3 = time.perf_counter()
+    wall = t3 - t0
     return {"e2e_msps": n / wall / 1e6, "e2e_wall_s": wall,
-            "e2e_frames": len(frames)}
+            "e2e_frames": len(frames),
+            # breakdown: staging is host CPU; transfer rides the axon relay
+            # tunnel in this environment (PCIe/DMA on a real TPU VM)
+            "e2e_stage_s": t1 - t0, "e2e_transfer_s": t2 - t1,
+            "e2e_compute_s": t3 - t2}
 
 
 def child_main():
@@ -269,6 +276,9 @@ def child_main():
         line["e2e_wall_s"] = round(e2e["e2e_wall_s"], 3)
         line["e2e_vs_baseline"] = round(e2e["e2e_msps"] / BASELINE_MSPS, 2)
         line["e2e_frames"] = e2e["e2e_frames"]
+        line["e2e_stage_s"] = round(e2e["e2e_stage_s"], 3)
+        line["e2e_transfer_s"] = round(e2e["e2e_transfer_s"], 3)
+        line["e2e_compute_s"] = round(e2e["e2e_compute_s"], 3)
     except Timeout:
         line["e2e_error"] = "timeout"
     except Exception as e:  # noqa: BLE001

@@ -46,13 +46,12 @@ def lane_scaling():
     params = chain_lib.make_params(POES_TIP, fs, quirks=False)
     plan = BL.BlockPlan(core=98304, head=12288, tail=8192, max_frames=64)
     impl = os.environ.get("PDT_BENCH_PALLAS", "fused")
-    use_pallas = {"0": False, "front": "front", "fused": "fused",
-                  "fused2": "fused2", "fused3": "fused3", "fused4": "fused4"}[impl]
+    use_pallas = {"0": False, "front": "front", "fused": "fused"}[impl]
     iq, t, fs, _ = W.load_iq_wav("/root/reference/5sec_clip.wav")
     re0 = np.real(iq).astype(dt)
     im0 = np.imag(iq).astype(dt)
     rows = []
-    for B in [64, 128, 256, 512]:
+    for B in [128, 256, 512, 1024]:
         reps = int(np.ceil((B * plan.core + plan.total) / len(re0)))
         rr, ii = np.tile(re0, reps), np.tile(im0, reps)
         tt = W.time_axis(len(rr) + 1, fs, dt)
@@ -136,7 +135,12 @@ def main():
                "efficiency_vs_1dev": round(eff, 3),
                "frames": nf, "step_s": round(dt, 3),
                "warm_s": round(warm, 1),
-               "backend": str(devices[0].platform)}
+               "backend": str(devices[0].platform),
+               "label": ("measured" if n_blk * 2 <= os.cpu_count()
+                         else "host-core contention (virtual mesh "
+                              "oversubscribes a %d-core host %dx)"
+                              % (os.cpu_count(),
+                                 max(1, 2 * n_blk // os.cpu_count())))}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -180,7 +184,12 @@ def main():
                "efficiency_vs_1dev": round(eff, 3),
                "frames": nf, "step_s": round(dt, 3),
                "warm_s": round(warm, 1),
-               "backend": str(devices[0].platform)}
+               "backend": str(devices[0].platform),
+               "label": ("measured" if n_blk * 2 <= os.cpu_count()
+                         else "host-core contention (virtual mesh "
+                              "oversubscribes a %d-core host %dx)"
+                              % (os.cpu_count(),
+                                 max(1, 2 * n_blk // os.cpu_count())))}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -195,6 +204,7 @@ def main():
     t_halo = halo_bytes / (ici_gbps * 1e9)
     projection = {
         "metric": "ici_projection",
+        "label": "ANALYTIC MODEL, not a measurement",
         "halo_bytes_per_shard": halo_bytes,
         "t_halo_s_at_45GBps": t_halo,
         "single_dev_step_s": step_s,
@@ -207,8 +217,29 @@ def main():
     rows.append(projection)
     print(json.dumps(projection), flush=True)
 
+    # Defensible-evidence summary (VERDICT r2 next #7): which rows are real
+    # measurements of the scaling design vs artifacts of the 2-core host.
+    weak2 = next((r for r in rows if r.get("metric") == "weak_scaling"
+                  and r.get("devices") == 2), None)
+    summary = {
+        "metric": "summary",
+        "defensible_rows": [
+            "weak_scaling devices<=2 (measured; each virtual device gets a "
+            "real core)",
+            "lane_scaling (real-chip measurements, see entries)",
+        ],
+        "weak_scaling_2dev_efficiency": (weak2 or {}).get(
+            "efficiency_vs_1dev"),
+        "contention_rows": "devices>2 entries are labeled; they measure "
+                           "2-core host oversubscription, not the sharding "
+                           "design",
+        "baseline_target": ">=0.8 efficiency at N>=2 (BASELINE.md)",
+    }
+    rows.append(summary)
+    print(json.dumps(summary), flush=True)
+
     out_path = os.environ.get("PDT_SCALING_OUT",
-                              os.path.join(REPO, "SCALING_r02.json"))
+                              os.path.join(REPO, "SCALING_r03.json"))
     existing = []
     if os.path.exists(out_path):
         try:
@@ -229,7 +260,7 @@ if __name__ == "__main__":
     if a.lanes:
         rows = lane_scaling()
         out_path = os.environ.get("PDT_SCALING_OUT",
-                                  os.path.join(REPO, "SCALING_r02.json"))
+                                  os.path.join(REPO, "SCALING_r03.json"))
         existing = []
         if os.path.exists(out_path):
             try:

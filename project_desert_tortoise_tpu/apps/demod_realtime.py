@@ -22,6 +22,10 @@ def run(argv=None, default_mode="poes_tip_realtime", prefix="minorFrames"):
     p = argparse.ArgumentParser(prog=f"demod_{default_mode}")
     p.add_argument("--follow", default=None,
                    help="tail a growing SDR# RAW file (f32 interleaved IQ)")
+    p.add_argument("--source", default=None,
+                   help="live source: 'stdin' (default), 'audio' or "
+                        "'audio:DEVICE' (ALSA capture, the reference's "
+                        "soundcard path), 'follow:PATH'")
     p.add_argument("-s", dest="rate_khz", type=float, default=48.0,
                    help="sample rate in kHz (default 48, as the reference)")
     p.add_argument("-n", dest="norm_factor", type=float, default=0.0)
@@ -51,9 +55,24 @@ def run(argv=None, default_mode="poes_tip_realtime", prefix="minorFrames"):
 
     signal.signal(signal.SIGINT, on_sigint)
 
-    if args.follow:
+    source = args.source or ("follow:" + args.follow if args.follow
+                             else "stdin")
+    if source.startswith("follow"):
+        path = source.split(":", 1)[1] if ":" in source else args.follow
         src = threading.Thread(target=follow_raw_file,
-                               args=(sd.ring, args.follow, stop), daemon=True)
+                               args=(sd.ring, path, stop), daemon=True)
+    elif source.startswith("audio"):
+        # the reference's soundcard ingest: 48 kHz stereo capture feeding
+        # the ring, overflow tolerated (POESTIPdemodPortAudio/main.c:246-331)
+        from project_desert_tortoise_tpu.utils.audio import (AudioCapture,
+                                                             audio_feed)
+        device = source.split(":", 1)[1] if ":" in source else "default"
+        chunk = args.chunk_size or 2400
+        # open in the main thread so a missing device fails loudly here
+        capture = AudioCapture(device, fs)
+        src = threading.Thread(target=audio_feed,
+                               args=(sd.ring, stop, device, fs, chunk),
+                               kwargs={"capture": capture}, daemon=True)
     else:
         def stdin_feed():
             while not stop.is_set():

@@ -168,23 +168,18 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         freq=(jnp.asarray(2.0 * np.pi / fs, dt) * freq_est),
         locked=jnp.ones((B,), bool),
     )
-    if (use_pallas in ("fused", "fused2", "fused3", "fused4")
-            and window and B % 128 == 0):
+    if use_pallas in ("fused2", "fused3", "fused4"):
+        # ablation-history kernels, measured and removed in round 3 (v1 won
+        # on chip: 985 vs 955/875/271 Msps) — see docs/DESIGN.md section 7b
+        raise ValueError(
+            f"use_pallas={use_pallas!r} was removed after on-chip ablation; "
+            "use 'fused' (the winner) or False (XLA scans)")
+    if use_pallas == "fused" and window and B % 128 == 0:
         # Mosaic kernels only compile for TPU; on the CPU backend (tests,
         # virtual meshes) run the same kernel through the Pallas interpreter
         interpret = _use_interpret()
-        if use_pallas == "fused4":
-            from project_desert_tortoise_tpu.ops.pallas.fused_kernel4 import (
-                fused_demod_pallas4 as fused_fn)
-        elif use_pallas == "fused3":
-            from project_desert_tortoise_tpu.ops.pallas.fused_kernel3 import (
-                fused_demod_pallas3 as fused_fn)
-        elif use_pallas == "fused2":
-            from project_desert_tortoise_tpu.ops.pallas.fused_kernel2 import (
-                fused_demod_pallas2 as fused_fn)
-        else:
-            from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
-                fused_demod_pallas as fused_fn)
+        from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
+            fused_demod_pallas as fused_fn)
         gain0 = jnp.full((B,), norm_gain, dt)
         bits_f, btimes_f, emit_f, avg_phase = fused_fn(
             params, pll_state, gain0, (blocks_re, blocks_im), t_next,

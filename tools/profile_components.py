@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--b", type=int, default=128)
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--core", type=int, default=98304)
-    ap.add_argument("--impl", default="fused", choices=["fused", "fused2"])
+    ap.add_argument("--impl", default="fused", choices=["fused"])
     args = ap.parse_args()
 
     import jax
@@ -41,12 +41,8 @@ def main():
     from project_desert_tortoise_tpu.parallel import blocked as BL
     from project_desert_tortoise_tpu.ops import manchester as man_ops
     from project_desert_tortoise_tpu.ops import pll as pll_ops
-    if args.impl == "fused2":
-        from project_desert_tortoise_tpu.ops.pallas.fused_kernel2 import (
-            fused_demod_pallas2 as fused_demod_pallas)
-    else:
-        from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
-            fused_demod_pallas)
+    from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
+        fused_demod_pallas)
     from project_desert_tortoise_tpu.utils import wav as W
     from project_desert_tortoise_tpu.utils.config import POES_TIP
 
