@@ -52,30 +52,40 @@ def lane_scaling():
     im0 = np.imag(iq).astype(dt)
     rows = []
     for B in [128, 256, 512, 1024]:
-        reps = int(np.ceil((B * plan.core + plan.total) / len(re0)))
-        rr, ii = np.tile(re0, reps), np.tile(im0, reps)
-        tt = W.time_axis(len(rr) + 1, fs, dt)
-        brs, bis, tn, _ = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
-        jre, jim, jtn = jnp.asarray(brs), jnp.asarray(bis), jnp.asarray(tn)
-        fest = BL.coarse_carrier_est(jre, jim, float(fs), 8320.0)
-        _ = np.asarray(fest)
+        # window 256 everywhere: the headline config's window, and the only
+        # one that fits VMEM at S=8 (B=1024)
+        window = 256
+        try:
+            reps = int(np.ceil((B * plan.core + plan.total) / len(re0)))
+            rr, ii = np.tile(re0, reps), np.tile(im0, reps)
+            tt = W.time_axis(len(rr) + 1, fs, dt)
+            brs, bis, tn, _ = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
+            jre, jim, jtn = (jnp.asarray(brs), jnp.asarray(bis),
+                             jnp.asarray(tn))
+            fest = BL.coarse_carrier_est(jre, jim, float(fs), 8320.0)
+            _ = np.asarray(fest)
 
-        def call():
-            out = BL.demod_blocks(params, plan.total, jre, jim, float(fs),
-                                  jtn, fest, 17.58, 512, use_pallas)
-            return np.asarray(out[2])
-        call()
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
+            def call():
+                out = BL.demod_blocks(params, plan.total, jre, jim,
+                                      float(fs), jtn, fest, 17.58, window,
+                                      use_pallas)
+                return np.asarray(out[2])
             call()
-            ts.append(time.perf_counter() - t0)
-        med = float(np.median(ts))
-        msps = B * plan.core / med / 1e6
-        row = {"metric": "lane_scaling", "B": B, "impl": impl,
-               "value": round(msps, 1), "unit": "Msamples/s",
-               "step_ms": round(med * 1e3, 1),
-               "device": str(jax.devices()[0])}
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                call()
+                ts.append(time.perf_counter() - t0)
+            med = float(np.median(ts))
+            msps = B * plan.core / med / 1e6
+            row = {"metric": "lane_scaling", "B": B, "impl": impl,
+                   "value": round(msps, 1), "unit": "Msamples/s",
+                   "step_ms": round(med * 1e3, 1), "window": window,
+                   "device": str(jax.devices()[0])}
+        except Exception as e:  # noqa: BLE001 — keep earlier rows
+            row = {"metric": "lane_scaling", "B": B, "impl": impl,
+                   "window": window,
+                   "error": f"{type(e).__name__}: {e}"[:160]}
         rows.append(row)
         print(json.dumps(row), flush=True)
     return rows

@@ -1,0 +1,230 @@
+"""Batched multi-channel streaming serving — the TPU fast path for realtime.
+
+The reference realtime apps are one process per channel, one sample at a
+time (``POESTIPdemodPortAudio/main.c:324-401``).  The serving configuration
+this framework targets is hundreds of satellite channels per chip: each
+channel's live stream accumulates in a host buffer, and whenever enough
+samples exist to cut finished time blocks (core + relock halos, see
+``parallel/blocked.py``), blocks from ALL channels are batched into one
+device dispatch through the same demod path the offline fast mode uses
+(XLA scans or the fused Pallas kernel), with channel-aware frame stitching.
+
+Latency model: a block covering core interval [k*core, (k+1)*core) is cut
+once (k+1)*core + tail samples have arrived, so end-to-end latency is
+bounded by core + tail samples (~2.3 s at the POES default plan; shrink
+``core`` for lower latency at some throughput cost) plus the batching wait
+(``pump`` dispatches whatever is ready — it never waits for a full batch).
+
+Parity contract: same frames as ``blocked.demodulate_many`` over the same
+recordings (tests/test_serving.py), which itself holds frame-level parity
+with the C oracle.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from project_desert_tortoise_tpu import chain as chain_lib
+from project_desert_tortoise_tpu.ops import agc as agc_ops
+from project_desert_tortoise_tpu.ops.framer import Frame
+from project_desert_tortoise_tpu.parallel import blocked as BL
+
+
+class _Channel:
+    """Per-channel sample/time history between pumps."""
+
+    def __init__(self, dt, ts):
+        self.re = np.zeros(0, dt)
+        self.im = np.zeros(0, dt)
+        # t_ext[i] = reference accumulated-f32 time of sample (base + i);
+        # kept one entry LONGER than the sample buffers (the time a next
+        # sample would get), so interpolating modes can stage t[i+1]
+        self.t_ext = np.array([ts], dt)
+        self.base = 0          # absolute index of re[0]
+        self.next_block = 0    # next core index to emit
+        self.ended = False
+        self.count = 0         # absolute samples received
+
+
+class ChannelBank:
+    """Multi-channel streaming demodulator with batched device dispatch.
+
+    push() is thread-safe per channel; pump() runs the device work and
+    distributes frames (call from one consumer thread / event loop).
+    """
+
+    def __init__(self, mode_cfg, fs: float, n_channels: int,
+                 plan: Optional[BL.BlockPlan] = None,
+                 batch_blocks: int = 128,
+                 window: int = 4096, use_pallas=False,
+                 norm_factor: Optional[float] = None,
+                 on_frame: Optional[Callable[[int, Frame], None]] = None,
+                 dtype=np.float32):
+        self.cfg = mode_cfg
+        self.fs = float(fs)
+        self.dt = np.dtype(dtype)
+        self.params = chain_lib.make_params(mode_cfg, fs, quirks=False)
+        self.plan = plan or BL.default_plan(mode_cfg, fs)
+        self.batch_blocks = batch_blocks
+        self.window = window
+        self.use_pallas = use_pallas
+        self.on_frame = on_frame
+        self.norm = norm_factor
+        self._ts = self.dt.type(1.0) / self.dt.type(fs)
+        self._lock = threading.Lock()
+        self.channels = [_Channel(self.dt, self._ts)
+                         for _ in range(n_channels)]
+        self.frames: List[List[Frame]] = [[] for _ in range(n_channels)]
+        self._shift = self.params.interp > 1
+
+    # ---------------- producers ----------------
+
+    def push(self, ch: int, re, im):
+        """Append samples to a channel (producer side)."""
+        c = self.channels[ch]
+        re = np.asarray(re, self.dt)
+        im = np.asarray(im, self.dt)
+        n = len(re)
+        if n == 0:
+            return
+        # continue the accumulated f32 timebase: t_ext already holds the
+        # time of the first new sample; extend by n more accumulated steps
+        steps = np.full(n, self._ts, self.dt)
+        steps[0] = c.t_ext[-1] + self._ts
+        ext = np.add.accumulate(steps, dtype=self.dt)
+        with self._lock:
+            c.re = np.concatenate([c.re, re])
+            c.im = np.concatenate([c.im, im])
+            c.t_ext = np.concatenate([c.t_ext, ext])
+            c.count += n
+            if self.norm is None and ch == 0 and \
+                    c.count >= self.cfg.chunk_size:
+                # same probe demodulate_many uses: channel 0's first chunk
+                iq = c.re[:self.cfg.chunk_size] + \
+                    1j * c.im[:self.cfg.chunk_size]
+                self.norm = agc_ops.static_gain(
+                    iq, self.cfg.static_gain_level, self.dt)
+
+    def end_of_stream(self, ch: int):
+        self.channels[ch].ended = True
+
+    # ---------------- consumer ----------------
+
+    def _ready_blocks(self, c: _Channel):
+        """Core indices whose [lo-head, lo+core+tail) window is complete
+        (or the stream ended)."""
+        out = []
+        b = c.next_block
+        while True:
+            need = (b + 1) * self.plan.core + self.plan.tail
+            if c.count >= need or (c.ended and c.count > b * self.plan.core):
+                out.append(b)
+                b += 1
+            else:
+                break
+        return out
+
+    def _stage(self, items):
+        """items: list of (ch, block). Returns staged device batch arrays."""
+        bn = len(items)
+        P = self.plan
+        brs = np.zeros((bn, P.total), self.dt)
+        bis = np.zeros((bn, P.total), self.dt)
+        tns = np.zeros((bn, P.total), self.dt)
+        bounds = np.full((bn, 2), np.inf)
+        chan = np.zeros(bn, np.int32)
+        for k, (ci, b) in enumerate(items):
+            c = self.channels[ci]
+            lo = b * P.core - P.head - c.base       # buffer-relative
+            hi = lo + P.total
+            avail = len(c.re)
+            src_lo, src_hi = max(lo, 0), min(hi, avail)
+            d0 = src_lo - lo
+            m = src_hi - src_lo
+            brs[k, d0:d0 + m] = c.re[src_lo:src_hi]
+            bis[k, d0:d0 + m] = c.im[src_lo:src_hi]
+            off = 1 if self._shift else 0
+            # t_ext[i (+1)] = time of sample base+i (+1); one extra entry
+            # always exists
+            tns[k, d0:d0 + m] = c.t_ext[src_lo + off:src_hi + off]
+            cs = b * P.core - c.base
+            ce = min(cs + P.core, c.count - c.base)
+            bounds[k, 0] = c.t_ext[cs]
+            bounds[k, 1] = c.t_ext[ce] if ce < len(c.t_ext) else \
+                c.t_ext[-1] + self._ts
+            chan[k] = ci
+        return brs, bis, tns, bounds, chan
+
+    def pump(self) -> int:
+        """Stage + demodulate every ready block (in batch_blocks batches).
+
+        Returns the number of blocks processed.  Call repeatedly from the
+        serving loop; cheap when nothing is ready."""
+        with self._lock:
+            work = [(ci, b) for ci, c in enumerate(self.channels)
+                    for b in self._ready_blocks(c)]
+            for ci, b in work:
+                self.channels[ci].next_block = \
+                    max(self.channels[ci].next_block, b + 1)
+            staged = []
+            for w0 in range(0, len(work), self.batch_blocks):
+                staged.append(self._stage(work[w0:w0 + self.batch_blocks]))
+            self._trim()
+        for brs, bis, tns, bounds, chan in staged:
+            self._dispatch(brs, bis, tns, bounds, chan)
+        return len(work)
+
+    def _dispatch(self, brs, bis, tns, bounds, chan):
+        bn = len(chan)
+        jre, jim = jnp.asarray(brs), jnp.asarray(bis)
+        fest = BL.coarse_carrier_est(jre, jim, self.fs,
+                                     self.cfg.gardner.baud / 2.0)
+        bits_c, times_c, n_bits, _ = BL.demod_blocks(
+            self.params, self.plan.total, jre, jim, self.fs,
+            jnp.asarray(tns), fest, float(self.norm or 1.0),
+            self.window, self.use_pallas)
+        stitched = BL.extract_stitch_chan(
+            self.cfg.framer, self.plan.max_frames,
+            bn * self.plan.max_frames, bits_c, times_c, n_bits,
+            jnp.asarray(bounds, self.dt), jnp.asarray(chan))
+        f_times, f_inv, f_data, n, f_chan = (np.asarray(x) for x in stitched)
+        for j in range(int(n)):
+            ci = int(f_chan[j])
+            fr = Frame(float(f_times[j]), bool(f_inv[j]),
+                       f_data[j].copy(), True)
+            self.frames[ci].append(fr)
+            if self.on_frame:
+                self.on_frame(ci, fr)
+
+    def _trim(self):
+        """Drop history no future block can touch (bounded memory)."""
+        for c in self.channels:
+            keep_from = c.next_block * self.plan.core - self.plan.head
+            drop = keep_from - c.base
+            if drop >= self.plan.core:        # amortize the copies
+                c.re = c.re[drop:]
+                c.im = c.im[drop:]
+                c.t_ext = c.t_ext[drop:]
+                c.base += drop
+
+    def drain(self) -> int:
+        """End-of-stream: process every remaining partial block."""
+        for c in self.channels:
+            c.ended = True
+        if self.norm is None and self.channels:
+            c0 = self.channels[0]
+            n = min(len(c0.re), self.cfg.chunk_size)
+            if n:
+                self.norm = agc_ops.static_gain(
+                    c0.re[:n] + 1j * c0.im[:n],
+                    self.cfg.static_gain_level, self.dt)
+        total = 0
+        while True:
+            n = self.pump()
+            total += n
+            if n == 0:
+                return total

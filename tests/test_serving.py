@@ -1,0 +1,82 @@
+"""Batched multi-channel streaming serving (parallel/serving.py): frame
+parity with the offline fast path over the same recordings, incremental
+pushes in awkward chunk sizes, bounded history, partial-final-block drain."""
+
+import numpy as np
+import pytest
+
+from project_desert_tortoise_tpu.parallel.blocked import (BlockPlan,
+                                                          demodulate_many)
+from project_desert_tortoise_tpu.parallel.serving import ChannelBank
+from project_desert_tortoise_tpu.utils import synth, wav as W
+from project_desert_tortoise_tpu.utils.config import POES_TIP
+
+PLAN = BlockPlan(core=16384, head=12288, tail=8192, max_frames=8)
+
+
+@pytest.fixture(scope="module")
+def recordings():
+    chans = []
+    for seed in (3, 11):
+        rng = np.random.default_rng(seed)
+        iq, _ = synth.make_poes_recording(n_frames=10, fs=50000.0,
+                                          snr_db=28.0, rng=rng)
+        chans.append(iq)
+    n = min(len(c) for c in chans)
+    return np.stack([c[:n] for c in chans])
+
+
+@pytest.fixture(scope="module")
+def offline_frames(recordings):
+    t = W.time_axis(recordings.shape[1], 50000.0, np.float32)
+    return demodulate_many(recordings, t, 50000.0, POES_TIP, plan=PLAN,
+                           batch_blocks=16)
+
+
+def _lines(frames):
+    return [f.hex_line() for f in sorted(frames, key=lambda f: f.time)]
+
+
+def test_serving_matches_offline(recordings, offline_frames):
+    C, n = recordings.shape
+    bank = ChannelBank(POES_TIP, 50000.0, C, plan=PLAN, batch_blocks=16)
+    # push in deliberately awkward, per-channel-different chunk sizes,
+    # pumping as we go (the serving loop)
+    pos = [0] * C
+    steps = [9973, 12000]
+    while any(p < n for p in pos):
+        for c in range(C):
+            lo = pos[c]
+            hi = min(lo + steps[c], n)
+            if lo < hi:
+                bank.push(c, np.real(recordings[c, lo:hi]),
+                          np.imag(recordings[c, lo:hi]))
+                pos[c] = hi
+        bank.pump()
+    bank.drain()
+    for c in range(C):
+        assert _lines(bank.frames[c]) == _lines(offline_frames[c])
+
+
+def test_serving_trims_history(recordings):
+    C, n = recordings.shape
+    bank = ChannelBank(POES_TIP, 50000.0, 1, plan=PLAN, batch_blocks=16)
+    for lo in range(0, n, 25000):
+        bank.push(0, np.real(recordings[0, lo:lo + 25000]),
+                  np.imag(recordings[0, lo:lo + 25000]))
+        bank.pump()
+    c = bank.channels[0]
+    # history stays bounded (trim keeps at most a few cores + halo)
+    assert len(c.re) <= 6 * PLAN.core + PLAN.total
+    assert c.base > 0
+
+
+def test_serving_on_frame_callback(recordings):
+    got = []
+    bank = ChannelBank(POES_TIP, 50000.0, 1, plan=PLAN, batch_blocks=16,
+                       on_frame=lambda ci, f: got.append((ci, f.time)))
+    bank.push(0, np.real(recordings[0]), np.imag(recordings[0]))
+    bank.pump()
+    bank.drain()
+    assert got and all(ci == 0 for ci, _ in got)
+    assert [t for _, t in got] == sorted(t for _, t in got)
