@@ -146,11 +146,11 @@ def main():
                "frames": nf, "step_s": round(dt, 3),
                "warm_s": round(warm, 1),
                "backend": str(devices[0].platform),
-               "label": ("measured" if n_blk * 2 <= os.cpu_count()
+               "label": ("measured" if n_blk <= os.cpu_count()
                          else "host-core contention (virtual mesh "
                               "oversubscribes a %d-core host %dx)"
                               % (os.cpu_count(),
-                                 max(1, 2 * n_blk // os.cpu_count())))}
+                                 max(1, n_blk // os.cpu_count())))}
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -195,11 +195,11 @@ def main():
                "frames": nf, "step_s": round(dt, 3),
                "warm_s": round(warm, 1),
                "backend": str(devices[0].platform),
-               "label": ("measured" if n_blk * 2 <= os.cpu_count()
+               "label": ("measured" if n_blk <= os.cpu_count()
                          else "host-core contention (virtual mesh "
                               "oversubscribes a %d-core host %dx)"
                               % (os.cpu_count(),
-                                 max(1, 2 * n_blk // os.cpu_count())))}
+                                 max(1, n_blk // os.cpu_count())))}
         rows.append(row)
         print(json.dumps(row), flush=True)
 

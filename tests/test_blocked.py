@@ -52,6 +52,49 @@ def test_fast_path_decodes_at_least_reference(blocked_frames, oracle_frames):
     assert np.all((d > 0.09) & (d < 0.11))
 
 
+def test_device_staged_flat_matches_host_staged(poes_clip):
+    """demod_frames_flat (contiguous upload + on-device windowing, int16 or
+    f32) must produce the same frames as the host-staged driver."""
+    import jax.numpy as jnp
+    from project_desert_tortoise_tpu import chain as chain_lib
+    from project_desert_tortoise_tpu.parallel.blocked import (
+        BlockPlan, _fetch_frames, demod_frames_flat, flat_bounds)
+    from project_desert_tortoise_tpu.utils import wav as W
+
+    iq, t, fs = poes_clip
+    plan = BlockPlan(core=49152, head=12288, tail=8192, max_frames=16)
+    B = -(-len(iq) // plan.core)
+    re = np.real(iq).astype(np.float32)
+    im = np.imag(iq).astype(np.float32)
+    ts = np.float32(1.0) / np.float32(fs)
+    t_ext = np.concatenate([t.astype(np.float32), [np.float32(t[-1] + ts)]])
+    bounds = flat_bounds(t_ext, len(iq), plan, B)
+    params = chain_lib.make_params(POES_TIP, fs, quirks=False)
+
+    host = demodulate_blocked(iq, t, fs, POES_TIP, plan=plan,
+                              norm_factor=17.58)
+    out = demod_frames_flat(params, POES_TIP.framer, plan, B, float(fs),
+                            4096, False, jnp.asarray(re), jnp.asarray(im),
+                            jnp.asarray(t_ext), 17.58,
+                            jnp.asarray(bounds, np.float32))
+    dev = _fetch_frames(out)
+    assert sorted(f.hex_line() for f in dev) == \
+        sorted(f.hex_line() for f in host)
+
+    # int16 upload: device-side /32768 conversion is bit-exact vs the host
+    # WAV normalization (common/wave.c:117), halving transfer bytes
+    r16 = np.round(re * 32768.0).astype(np.int16)
+    i16 = np.round(im * 32768.0).astype(np.int16)
+    assert np.array_equal(r16.astype(np.float32) / 32768.0, re)  # lossless
+    out16 = demod_frames_flat(params, POES_TIP.framer, plan, B, float(fs),
+                              4096, False, jnp.asarray(r16),
+                              jnp.asarray(i16), jnp.asarray(t_ext), 17.58,
+                              jnp.asarray(bounds, np.float32))
+    dev16 = _fetch_frames(out16)
+    assert sorted(f.hex_line() for f in dev16) == \
+        sorted(f.hex_line() for f in dev)
+
+
 def test_block_size_invariance(poes_clip):
     """Frames must not depend on the block plan (core size)."""
     iq, t, fs = poes_clip
