@@ -100,8 +100,11 @@ def run_bench(batch_blocks: int, iters: int):
     dt = np.dtype(np.float32)
     fs = 50000.0
     params = chain_lib.make_params(POES_TIP, fs, quirks=False)
-    # 4096-aligned plan so the VMEM-windowed scans divide evenly
-    core = int(os.environ.get("PDT_BENCH_CORE", 98304))
+    # 4096-aligned plan so the VMEM-windowed scans divide evenly; core
+    # 225280 (total 245760) is the round-3 tuned sweet spot: relock halos
+    # amortize to 8.3% and the core sweep is non-monotonic past this point
+    # (tune_results.json)
+    core = int(os.environ.get("PDT_BENCH_CORE", 225280))
     plan = BL.BlockPlan(core=core, head=12288, tail=8192, max_frames=64)
     B = int(os.environ.get("PDT_BENCH_B", batch_blocks))
     # default to the best tuned TPU config (tune_results.json): the fused

@@ -307,25 +307,31 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
         re_flat = re_flat.astype(dt) * scale
         im_flat = im_flat.astype(dt) * scale
     n = re_flat.shape[0]
-    total, core, head = plan.total, plan.core, plan.head
-    pad_tail = max(0, (B - 1) * core + total - head - n)
+    total, core, head, tail = plan.total, plan.core, plan.head, plan.tail
+    # window k of the padded stream is [k*core, k*core + total); cut all B
+    # windows with THREE strided reshapes + one concat (head|core|tail
+    # pieces, each non-overlapping at stride core) — a generic gather with
+    # a (B, total) index matrix costs ~8.6 s here vs ~10 ms of pure HBM
+    # copies for the reshape form (round-3 on-chip profile)
+    plen = head + core + B * core          # covers the tail piece's reach
     z = jnp.zeros((head,), dt)
-    re_p = jnp.concatenate([z, re_flat.astype(dt),
-                            jnp.zeros((pad_tail,), dt)])
-    im_p = jnp.concatenate([z, im_flat.astype(dt),
-                            jnp.zeros((pad_tail,), dt)])
+
+    def pad_to(x, start_pad):
+        return jnp.concatenate(
+            [start_pad, x.astype(dt),
+             jnp.zeros((plen - start_pad.shape[0] - x.shape[0],), dt)])
+
+    def cut(p):
+        a = p[:B * core].reshape(B, core)[:, :head]
+        c = p[head:head + B * core].reshape(B, core)
+        t = p[head + core:head + core + B * core].reshape(B, core)[:, :tail]
+        return jnp.concatenate([a, c, t], axis=1)
+
+    brs = cut(pad_to(re_flat, z))
+    bis = cut(pad_to(im_flat, z))
     shift = params.interp > 1
     off = 1 if shift else 0
-    nt = t_ext.shape[0]
-    t_pad_tail = max(0, (B - 1) * core + total - head - (nt - off))
-    t_p = jnp.concatenate([jnp.zeros((head,), dt),
-                           t_ext[off:].astype(dt),
-                           jnp.zeros((t_pad_tail,), dt)])
-    idx = (jnp.arange(B, dtype=jnp.int32)[:, None] * core
-           + jnp.arange(total, dtype=jnp.int32)[None, :])
-    brs = jnp.take(re_p, idx)
-    bis = jnp.take(im_p, idx)
-    tns = jnp.take(t_p, idx)
+    tns = cut(pad_to(t_ext[off:], z))
     # bit rate from the chain params: step = fs*interp/baud, bits = baud/2
     line_spacing = fs * params.interp / (2.0 * params.step_size)
     fest = coarse_carrier_est(brs, bis, fs, line_spacing)
