@@ -30,6 +30,13 @@ from project_desert_tortoise_tpu.ops.fastmath import sign
 from project_desert_tortoise_tpu.ops.pallas.chain_kernel import _polyphase
 
 LANES = 128
+# default body unroll for compiled (Mosaic) lowering: consecutive samples'
+# FIR/AGC/Gardner vector work overlaps the serial PLL dependency chain in
+# the scheduler.  Measured round 3 at (B=1024, core=225280, window=256):
+# U=1 -> 1173 Msps, 8 -> 1288, 32 -> 1312 (tune_results.json); gains
+# flatten past 32.  Interpret mode defaults to 1 (8-32x trace blowup for
+# zero benefit); outputs are bit-exact across U (test_pallas_fused).
+DEFAULT_UNROLL = 32
 
 
 def ring_size(step_size: float, err_limit: float, interp: int) -> int:
@@ -52,8 +59,17 @@ def _ring_read(ring_planes, age):
 
 
 def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
-            re_ref, im_ref, tn_ref, st_in_ref,
-            bit_ref, btime_ref, emit_ref, st_out_ref, st_scratch):
+            unroll, tgen_ts, *refs):
+    if tgen_ts is None:
+        (re_ref, im_ref, tn_ref, st_in_ref,
+         bit_ref, btime_ref, emit_ref, st_out_ref, st_scratch) = refs
+    else:
+        # time-generation mode: no staged time plane; the kernel rebuilds
+        # the reference's accumulated-f32 axis from per-block seeds
+        # (bit-exact: the same sequential t += Ts left fold, wave.c:167)
+        (re_ref, im_ref, st_in_ref,
+         bit_ref, btime_ref, emit_ref, st_out_ref, st_scratch) = refs
+        tn_ref = None
     (attack, decay, reference, max_gain, min_gain, squelch_thr) = agc_params
     hist_len = len(poly[0])
     # state plane layout
@@ -73,7 +89,8 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
 
     # loop state lives in the fori_loop carry (vector registers); VMEM
     # scratch is only touched at window boundaries
-    n_state = MA + 5
+    TG = MA + 5      # time-gen (optional): t_cur, pad countdown
+    n_state = MA + 5 + (2 if tgen_ts is not None else 0)
     s0 = st_scratch[:]
 
     def body(i, carry):
@@ -91,7 +108,17 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
         gain = s[G0]
         ring_v = [s[R0 + k] for k in range(ring)]
         ring_t = [s[T0 + k] for k in range(ring)]
-        tval_in = tn_ref[i]
+        if tgen_ts is None:
+            tval_in = tn_ref[i]
+            tg_tail = []
+        else:
+            t_cur, pcnt = s[TG], s[TG + 1]
+            # pcnt counts down through zero-padded head positions (block 0
+            # only); at pcnt == 0 the emitted time is the seed itself, then
+            # the accumulated fold continues
+            tval_in = jnp.where(pcnt > 0, jnp.zeros_like(t_cur), t_cur)
+            t_cur = jnp.where(pcnt <= 0, t_cur + c(tgen_ts), t_cur)
+            tg_tail = [t_cur, pcnt - 1.0]
 
         # ring is a shift register, entry k = interp output at age k
         # (0 = newest); produce this sample's `interp` outputs newest-first
@@ -169,10 +196,24 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
             [new.phase, new.freq, new.locksig, new.avg_phase, new.sweep,
              new.locked.astype(dt)] + hist + [gain] + ring_v + ring_t
             + [ns, half_raw, prev_bit]
-            + [clockmod, evenodd, mcur, mprev, mprevprev])
+            + [clockmod, evenodd, mcur, mprev, mprevprev] + tg_tail)
 
-    final = jax.lax.fori_loop(
-        0, window, body, tuple(s0[k] for k in range(n_state)))
+    if unroll == 1:
+        final = jax.lax.fori_loop(
+            0, window, body, tuple(s0[k] for k in range(n_state)))
+    else:
+        # hand-unrolled: Mosaic's fori only lowers unroll=1 or full, so we
+        # unroll in the body.  Consecutive samples' FIR/AGC/Gardner work is
+        # independent of each other's PLL updates EXCEPT through the carried
+        # state, so the scheduler can overlap sample u+1's transcendentals
+        # with sample u's tail — the chain is latency-bound (DESIGN.md 7).
+        def body_u(j, carry):
+            s = carry
+            for u in range(unroll):
+                s = body(j * unroll + u, s)
+            return s
+        final = jax.lax.fori_loop(
+            0, window // unroll, body_u, tuple(s0[k] for k in range(n_state)))
     st_scratch[:] = jnp.stack(list(final))
 
     @pl.when(w == pl.num_programs(0) - 1)
@@ -181,18 +222,40 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("chain_params", "window", "interpret"))
+                   static_argnames=("chain_params", "window", "interpret",
+                                    "unroll", "ts"))
 def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
-                       window: int = 512, interpret: bool = False):
+                       window: int = 512, interpret: bool = False,
+                       unroll: int = 0, t_seed=None, t_pad0=None,
+                       ts: float = 0.0):
     """Full chain on (B, L) blocks; B % 128 == 0, L % window == 0.
 
-    t_next: (B, L) stage time axis (see blocked.demod_blocks).
+    t_next: (B, L) stage time axis (see blocked.demod_blocks), or None to
+    regenerate it in-kernel (time-generation mode): pass per-block
+    ``t_seed`` (B,) — the axis value at the block's first valid sample —
+    and ``t_pad0`` (B,) — the count of zero-padded head positions (only
+    block 0 of a recording has any) — plus the static step ``ts`` = 1/fs
+    in stream dtype.  Bit-exact vs the staged plane (the same sequential
+    f32 ``t += Ts`` fold, wave.c:167) everywhere except zero-padded
+    tail positions past the end of the recording, where the generated axis
+    keeps accumulating instead of reading 0 — positions whose frames the
+    core-interval stitcher drops either way.  Saves one (B, L) f32 plane
+    of HBM traffic and, in the flat E2E path, a third of the host->device
+    upload bytes.
     Returns (bits (B, L) float 0/1, bit_times (B, L), emit_mask (B, L) bool,
     avg_phase (B,)).  At most one bit per input sample per lane.
     """
     zre, zim = z
     B, L = zre.shape
     assert B % LANES == 0 and L % window == 0, (B, L, window)
+    tgen = t_next is None
+    if tgen:
+        assert t_seed is not None and t_pad0 is not None and ts > 0.0
+    if unroll == 0:
+        unroll = 1 if interpret else DEFAULT_UNROLL
+    while window % unroll:
+        unroll //= 2              # keep any odd window size working
+
     S = B // LANES
     dt = zre.dtype
     interp = chain_params.interp
@@ -200,7 +263,7 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     hist_len = len(poly[0])
     ring = ring_size(chain_params.step_size, chain_params.gardner_err_limit,
                      interp)
-    n_state = 6 + hist_len + 1 + 2 * ring + 3 + 5
+    n_state = 6 + hist_len + 1 + 2 * ring + 3 + 5 + (2 if tgen else 0)
 
     agc_params = (chain_params.agc_attack, chain_params.agc_decay,
                   1.0, 5000.0, 10e-5, chain_params.squelch_threshold or 0.0)
@@ -208,22 +271,33 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     def to_tiles(a):
         return jnp.moveaxis(a.reshape(S, LANES, L), -1, 0)
 
-    st_in = jnp.concatenate([
+    planes = [
         jnp.stack([pll_state.phase, pll_state.freq, pll_state.locksig,
                    pll_state.avg_phase, pll_state.sweep,
                    pll_state.locked.astype(dt)]),
         jnp.zeros((hist_len + 1 + 2 * ring + 3 + 5, B), dt)
         .at[hist_len].set(agc_gain.astype(dt)),
-    ]).reshape(n_state, S, LANES)
+    ]
+    if tgen:
+        planes.append(jnp.stack([t_seed.astype(dt), t_pad0.astype(dt)]))
+    st_in = jnp.concatenate(planes).reshape(n_state, S, LANES)
 
     grid = (L // window,)
     spec_w = pl.BlockSpec((window, S, LANES), lambda w: (w, 0, 0))
     spec_s = pl.BlockSpec((n_state, S, LANES), lambda w: (0, 0, 0))
+    operands = [to_tiles(zre), to_tiles(zim)]
+    in_specs = [spec_w, spec_w]
+    if not tgen:
+        operands.append(to_tiles(t_next))
+        in_specs.append(spec_w)
+    operands.append(st_in)
+    in_specs.append(spec_s)
     bits, btimes, emit, st_out = pl.pallas_call(
         functools.partial(_kernel, chain_params, agc_params, poly, interp,
-                          window, chain_params.squelch_position, ring),
+                          window, chain_params.squelch_position, ring,
+                          unroll, float(ts) if tgen else None),
         grid=grid,
-        in_specs=[spec_w, spec_w, spec_w, spec_s],
+        in_specs=in_specs,
         out_specs=[spec_w, spec_w, spec_w, spec_s],
         out_shape=[
             jax.ShapeDtypeStruct((L, S, LANES), dt),
@@ -233,7 +307,7 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
         ],
         scratch_shapes=[pltpu.VMEM((n_state, S, LANES), dt)],
         interpret=interpret,
-    )(to_tiles(zre), to_tiles(zim), to_tiles(t_next), st_in)
+    )(*operands)
 
     def from_tiles(a):
         return jnp.moveaxis(a, 0, -1).reshape(B, L)

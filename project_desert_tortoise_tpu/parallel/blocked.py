@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import itertools
+import os
 from typing import List, NamedTuple, Optional
 
 import numpy as np
@@ -138,10 +139,11 @@ def _plan_caps(total: int, params, interp: int):
     return n_i, max_syms, max_bits
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 4, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 1, 4, 8, 9, 10))
 def demod_blocks(params: chain_lib.ChainParams, total: int,
                  blocks_re, blocks_im, fs: float, t_next, freq_est, norm_gain,
-                 window: int = 4096, use_pallas=False):
+                 window: int = 4096, use_pallas=False, unroll: int = 0,
+                 t_seed=None, t_pad0=None):
     """Demodulate (B, total) sample blocks -> compressed per-block bits.
 
     t_next: (B, total) — the stage time axis: time of sample i+1 for
@@ -162,6 +164,12 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
     if window and total % window != 0:
         window = 0  # fall back for odd sizes
 
+    if t_next is None and not (use_pallas == "fused" and window
+                               and B % 128 == 0):
+        raise ValueError(
+            "t_next=None (in-kernel time generation) requires the fused "
+            "Pallas path: use_pallas='fused', window set, B % 128 == 0")
+
     # warm PLL init: tracking bandwidth, frequency from the coarse estimate
     pll_state = pll_ops.init_state(params.pll, dt, (B,))
     pll_state = pll_state._replace(
@@ -181,9 +189,23 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
         from project_desert_tortoise_tpu.ops.pallas.fused_kernel import (
             fused_demod_pallas as fused_fn)
         gain0 = jnp.full((B,), norm_gain, dt)
+        kw = {"interpret": interpret}
+        # body unroll factor (fused_kernel._kernel); 0 = kernel default.
+        # PDT_FUSED_UNROLL only applies when the caller didn't pass one —
+        # note it cannot vary within one process (jit keys on `unroll`,
+        # which defaults before the env read).
+        u = unroll or int(os.environ.get("PDT_FUSED_UNROLL", "0"))
+        if u:
+            kw["unroll"] = u
+        if t_next is None:
+            # in-kernel time generation (see fused_kernel): the staged time
+            # plane is replaced by per-block seeds + pad counts
+            np_dt = np.dtype(dt)
+            kw.update(t_seed=t_seed, t_pad0=t_pad0,
+                      ts=float(np_dt.type(1.0) / np_dt.type(fs)))
         bits_f, btimes_f, emit_f, avg_phase = fused_fn(
             params, pll_state, gain0, (blocks_re, blocks_im), t_next,
-            window=min(window, 512), interpret=interpret)
+            window=min(window, 512), **kw)
         # bit emissions are >= ~6 input samples apart (one per 2 Gardner
         # symbols), so a 4-sample chunk holds at most one -> cheap compaction
         max_bits = total // 4 + 8
@@ -283,7 +305,7 @@ def demod_frames(params: chain_lib.ChainParams, total: int, framer_cfg,
 def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
                       plan: BlockPlan, B: int, fs: float, window: int,
                       use_pallas, re_flat, im_flat, t_ext, norm_gain,
-                      bounds):
+                      bounds, t_seed=None, t_pad0=None):
     """Whole-file demod from CONTIGUOUS device arrays — one upload, one
     dispatch, one frame fetch.
 
@@ -307,37 +329,50 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
         re_flat = re_flat.astype(dt) * scale
         im_flat = im_flat.astype(dt) * scale
     n = re_flat.shape[0]
-    total, core, head, tail = plan.total, plan.core, plan.head, plan.tail
+    total, core, head = plan.total, plan.core, plan.head
     # window k of the padded stream is [k*core, k*core + total); cut all B
-    # windows with THREE strided reshapes + one concat (head|core|tail
-    # pieces, each non-overlapping at stride core) — a generic gather with
+    # windows as ceil(total/core) column strips, each a non-overlapping
+    # strided reshape at stride core, concatenated — a generic gather with
     # a (B, total) index matrix costs ~8.6 s here vs ~10 ms of pure HBM
-    # copies for the reshape form (round-3 on-chip profile)
-    plen = head + core + B * core          # covers the tail piece's reach
+    # copies for the reshape form (round-3 on-chip profile).  The strip
+    # count handles any core/halo ratio (a fixed head|core|tail 3-piece cut
+    # silently truncated windows whenever head > core — round-3 bug caught
+    # by the time-generation parity test).
+    npieces = -(-total // core)
+    plen = (npieces - 1) * core + B * core
     z = jnp.zeros((head,), dt)
 
     def pad_to(x, start_pad):
-        return jnp.concatenate(
-            [start_pad, x.astype(dt),
-             jnp.zeros((plen - start_pad.shape[0] - x.shape[0],), dt)])
+        usable = plen - start_pad.shape[0]
+        x = x[:usable].astype(dt)     # samples beyond the last block's
+        return jnp.concatenate(       # reach are unused
+            [start_pad, x, jnp.zeros((usable - x.shape[0],), dt)])
 
     def cut(p):
-        a = p[:B * core].reshape(B, core)[:, :head]
-        c = p[head:head + B * core].reshape(B, core)
-        t = p[head + core:head + core + B * core].reshape(B, core)[:, :tail]
-        return jnp.concatenate([a, c, t], axis=1)
+        strips = []
+        for j in range(npieces):
+            w = min(core, total - j * core)
+            strips.append(
+                p[j * core:j * core + B * core].reshape(B, core)[:, :w])
+        return jnp.concatenate(strips, axis=1)
 
     brs = cut(pad_to(re_flat, z))
     bis = cut(pad_to(im_flat, z))
-    shift = params.interp > 1
-    off = 1 if shift else 0
-    tns = cut(pad_to(t_ext[off:], z))
+    if t_ext is not None:
+        shift = params.interp > 1
+        off = 1 if shift else 0
+        tns = cut(pad_to(t_ext[off:], z))
+    else:
+        # time-generation mode: no time plane at all — the fused kernel
+        # rebuilds the accumulated axis from per-block seeds (another third
+        # off the upload bytes; see fused_kernel time-generation docs)
+        tns = None
     # bit rate from the chain params: step = fs*interp/baud, bits = baud/2
     line_spacing = fs * params.interp / (2.0 * params.step_size)
     fest = coarse_carrier_est(brs, bis, fs, line_spacing)
     bits_c, times_c, n_bits, _ = demod_blocks(
         params, total, brs, bis, fs, tns, fest, norm_gain, window,
-        use_pallas)
+        use_pallas, 0, t_seed, t_pad0)
     fb = framer_ops.frame_extract(bits_c, times_c, n_bits, framer_cfg,
                                   plan.max_frames)
     return framer_ops.stitch_frames(fb, bounds, B * plan.max_frames)

@@ -95,6 +95,46 @@ def test_device_staged_flat_matches_host_staged(poes_clip):
         sorted(f.hex_line() for f in dev)
 
 
+def test_flat_time_generation_matches_time_plane(poes_clip):
+    """Time-generation mode (no uploaded time axis; the fused kernel
+    rebuilds the accumulated-f32 axis from per-block seeds) must produce
+    the same frames as the staged time plane."""
+    import jax.numpy as jnp
+    from project_desert_tortoise_tpu import chain as chain_lib
+    from project_desert_tortoise_tpu.parallel.blocked import (
+        BlockPlan, _fetch_frames, demod_frames_flat, flat_bounds)
+    from project_desert_tortoise_tpu.utils import wav as W
+
+    iq, t, fs = poes_clip
+    plan = BlockPlan(core=8192, head=12288, tail=8192, max_frames=8)
+    reps = -(-128 * plan.core // len(iq))
+    iq = np.tile(iq, reps)
+    re = np.real(iq).astype(np.float32)
+    im = np.imag(iq).astype(np.float32)
+    B = 128
+    ts = np.float32(1.0) / np.float32(fs)
+    t_ext = W.time_axis(len(iq) + 1, fs, np.float32)
+    bounds = flat_bounds(t_ext, len(iq), plan, B)
+    params = chain_lib.make_params(POES_TIP, fs, quirks=False)
+
+    args = (params, POES_TIP.framer, plan, B, float(fs), 512, "fused",
+            jnp.asarray(re), jnp.asarray(im))
+    ref = _fetch_frames(demod_frames_flat(
+        *args, jnp.asarray(t_ext), 17.58, jnp.asarray(bounds, np.float32)))
+
+    lo = np.arange(B) * plan.core - plan.head
+    pad0 = np.maximum(-lo, 0).astype(np.float32)
+    off = 1  # POES interpolates: stage time of sample i+1
+    seeds = t_ext[np.clip(lo + off + pad0.astype(int), 0,
+                          len(t_ext) - 1)].astype(np.float32)
+    gen = _fetch_frames(demod_frames_flat(
+        *args, None, 17.58, jnp.asarray(bounds, np.float32),
+        t_seed=jnp.asarray(seeds), t_pad0=jnp.asarray(pad0)))
+    assert sorted(f.hex_line() for f in gen) == \
+        sorted(f.hex_line() for f in ref)
+    assert len(ref) > 40
+
+
 def test_block_size_invariance(poes_clip):
     """Frames must not depend on the block plan (core size)."""
     iq, t, fs = poes_clip

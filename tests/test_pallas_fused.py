@@ -43,6 +43,14 @@ def test_fused_matches_xla_all_lanes():
     bits2, bt2, em2, avgp = fused_demod_pallas(
         params, pst, gain0, (re, im), tn, window=512, interpret=True)
 
+    # the compiled default unrolls the body (DEFAULT_UNROLL); outputs must
+    # be bit-identical to the rolled form at every factor we might ship
+    for U in (8, 32):
+        oU = fused_demod_pallas(params, pst, gain0, (re, im), tn,
+                                window=512, interpret=True, unroll=U)
+        assert all(np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip((bits2, bt2, em2, avgp), oU))
+
     for k in range(B):
         a = np.asarray(bits1[k])[np.asarray(em1[k])]
         ta = np.asarray(bt1[k])[np.asarray(em1[k])]
