@@ -44,7 +44,7 @@ def lane_scaling():
     fs = 50000.0
     dt = np.dtype(np.float32)
     params = chain_lib.make_params(POES_TIP, fs, quirks=False)
-    plan = BL.BlockPlan(core=98304, head=12288, tail=8192, max_frames=64)
+    plan = BL.BlockPlan(core=225280, head=12288, tail=8192, max_frames=64)
     impl = os.environ.get("PDT_BENCH_PALLAS", "fused")
     use_pallas = {"0": False, "front": "front", "fused": "fused"}[impl]
     iq, t, fs, _ = W.load_iq_wav("/root/reference/5sec_clip.wav")

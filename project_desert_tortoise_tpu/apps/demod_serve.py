@@ -1,0 +1,97 @@
+"""CLI: batched multi-channel serving (`parallel/serving.ChannelBank`).
+
+The reference runs one process per channel
+(``POESTIPdemodPortAudio/main.c``); here N channels share one chip: each
+input file (wav, or SDR# RAW with ``-s`` rate) feeds a channel of the
+bank, ready time-blocks from all channels batch into single device
+dispatches, and frames stream into per-channel output files as they
+decode.
+
+    python -m project_desert_tortoise_tpu.apps.demod_serve \
+        ch0.wav ch1.wav ... [--mode poes_tip] [--out-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import threading
+
+
+def run(argv=None):
+    p = argparse.ArgumentParser(prog="demod_serve")
+    p.add_argument("inputs", nargs="+", help="one recording per channel")
+    p.add_argument("--mode", default="poes_tip")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("-s", dest="rate_khz", type=float, default=0.0,
+                   help="sample rate in kHz for RAW inputs")
+    p.add_argument("--chunk", type=int, default=25000,
+                   help="producer chunk size (samples)")
+    p.add_argument("--batch-blocks", type=int, default=64)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from project_desert_tortoise_tpu.models.registry import get_mode
+    from project_desert_tortoise_tpu.parallel.serving import ChannelBank
+    from project_desert_tortoise_tpu.utils import output as O, wav as W
+
+    mode = get_mode(args.mode)
+    recs = []
+    fs = None
+    for path in args.inputs:
+        if path.lower().endswith(".wav"):
+            iq, _, f, _ = W.load_iq_wav(path)
+        else:
+            if not args.rate_khz:
+                p.error(f"RAW input {path!r} needs -s rate")
+            f = args.rate_khz * 1000.0
+            iq = W.load_iq_raw(path, f)
+            if isinstance(iq, tuple):
+                iq = iq[0]
+        if fs is None:
+            fs = f
+        elif f != fs:
+            p.error("all channels must share one sample rate")
+        recs.append(iq)
+
+    writers = []
+    for i, path in enumerate(args.inputs):
+        base = os.path.splitext(os.path.basename(path))[0]
+        out = os.path.join(args.out_dir, f"frames_{i}_{base}.txt")
+        writers.append(O.FrameWriter(out,
+                                     inverted_mark=mode.framer.inverted_mark))
+
+    bank = ChannelBank(mode, fs, len(recs),
+                       batch_blocks=args.batch_blocks,
+                       on_frame=lambda ci, fr: writers[ci].write(fr))
+
+    def producer(ci, iq):
+        re = np.ascontiguousarray(np.real(iq), np.float32)
+        im = np.ascontiguousarray(np.imag(iq), np.float32)
+        for lo in range(0, len(re), args.chunk):
+            bank.push(ci, re[lo:lo + args.chunk], im[lo:lo + args.chunk])
+        bank.end_of_stream(ci)
+
+    threads = [threading.Thread(target=producer, args=(ci, iq), daemon=True)
+               for ci, iq in enumerate(recs)]
+    for t in threads:
+        t.start()
+    while any(t.is_alive() for t in threads):
+        bank.pump()
+    bank.drain()
+    total = 0
+    for ci, w in enumerate(writers):
+        w.close()
+        n = len(bank.frames[ci])
+        total += n
+        print(f"channel {ci}: {n} frames -> {w.path}")
+    print(f"{total} frames across {len(recs)} channels")
+    return 0
+
+
+def main():
+    raise SystemExit(run())
+
+
+if __name__ == "__main__":
+    main()

