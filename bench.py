@@ -215,7 +215,15 @@ def run_e2e(kres):
 
 
 def child_main():
-    """Single process, single registration: probe THEN measure."""
+    """Single process, single registration: probe THEN measure.
+
+    Deadline-aware: every phase's alarm is clipped so the child always has
+    time to emit its ONE JSON line before the parent's attempt timeout —
+    a slow cold Mosaic compile (90-620 s observed) must degrade to a
+    smaller config or a missing e2e row, never to a missing line."""
+    t_start = time.time()
+    deadline = t_start + float(os.environ.get("PDT_BENCH_CHILD_BUDGET",
+                                              "2050"))
     os.chdir(REPO)
     cache = os.path.join(REPO, ".jax_cache")
     os.makedirs(cache, exist_ok=True)
@@ -253,7 +261,10 @@ def child_main():
     result = None
     # B = 1024 = 8 sublanes x 128 lanes: the fused kernel batches 8
     # lane-groups into full (8, 128) vregs (tune_results.json)
-    for B, iters, budget in [(1024, 5, 1200), (128, 5, 420), (64, 3, 300)]:
+    for B, iters, budget in [(1024, 5, 1400), (128, 5, 420), (64, 3, 300)]:
+        budget = int(min(budget, deadline - time.time() - 60))
+        if budget < 120:
+            break
         signal.alarm(budget)
         try:
             result = run_bench(B, iters)
@@ -280,7 +291,13 @@ def child_main():
         "device": result["dev"],
     }
     # E2E row under its own alarm: never sacrifice the kernel number
-    signal.alarm(int(os.environ.get("PDT_BENCH_E2E_ALARM", "420")))
+    e2e_alarm = int(min(float(os.environ.get("PDT_BENCH_E2E_ALARM", "420")),
+                        deadline - time.time() - 10))
+    if e2e_alarm < 60:
+        line["e2e_error"] = "skipped (deadline)"
+        _emit(line)
+        return 0
+    signal.alarm(e2e_alarm)
     try:
         e2e = run_e2e(result)
         signal.alarm(0)

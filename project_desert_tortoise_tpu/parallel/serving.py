@@ -80,6 +80,7 @@ class ChannelBank:
                          for _ in range(n_channels)]
         self.frames: List[List[Frame]] = [[] for _ in range(n_channels)]
         self._shift = self.params.interp > 1
+        self._pending = None   # in-flight stitched batch (double buffering)
 
     # ---------------- producers ----------------
 
@@ -163,7 +164,11 @@ class ChannelBank:
         """Stage + demodulate every ready block (in batch_blocks batches).
 
         Returns the number of blocks processed.  Call repeatedly from the
-        serving loop; cheap when nothing is ready."""
+        serving loop; cheap when nothing is ready.  Double-buffered: the
+        newest dispatched batch stays in flight (device arrays, not
+        fetched) until the next pump, so host staging of the following
+        batch overlaps device compute of this one; a no-work pump (and
+        drain()'s final iteration) flushes it."""
         with self._lock:
             work = [(ci, b) for ci, c in enumerate(self.channels)
                     for b in self._ready_blocks(c)]
@@ -174,11 +179,20 @@ class ChannelBank:
             for w0 in range(0, len(work), self.batch_blocks):
                 staged.append(self._stage(work[w0:w0 + self.batch_blocks]))
             self._trim()
-        for brs, bis, tns, bounds, chan in staged:
-            self._dispatch(brs, bis, tns, bounds, chan)
+        if staged:
+            dispatched = [self._dispatch(*b) for b in staged]
+            if self._pending is not None:
+                self._collect(self._pending)
+            for st in dispatched[:-1]:
+                self._collect(st)
+            self._pending = dispatched[-1]
+        elif self._pending is not None:
+            self._collect(self._pending)
+            self._pending = None
         return len(work)
 
     def _dispatch(self, brs, bis, tns, bounds, chan):
+        """Stage to device + launch demod; returns un-fetched outputs."""
         bn = len(chan)
         jre, jim = jnp.asarray(brs), jnp.asarray(bis)
         fest = BL.coarse_carrier_est(jre, jim, self.fs,
@@ -187,10 +201,12 @@ class ChannelBank:
             self.params, self.plan.total, jre, jim, self.fs,
             jnp.asarray(tns), fest, float(self.norm or 1.0),
             self.window, self.use_pallas)
-        stitched = BL.extract_stitch_chan(
+        return BL.extract_stitch_chan(
             self.cfg.framer, self.plan.max_frames,
             bn * self.plan.max_frames, bits_c, times_c, n_bits,
             jnp.asarray(bounds, self.dt), jnp.asarray(chan))
+
+    def _collect(self, stitched):
         f_times, f_inv, f_data, n, f_chan = (np.asarray(x) for x in stitched)
         for j in range(int(n)):
             ci = int(f_chan[j])
