@@ -119,14 +119,29 @@ def run_bench(batch_blocks: int, iters: int):
     rr, ii, tt, fs = _stage_inputs(plan, B, dt)
     brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
 
-    jre, jim, jtn = jnp.asarray(brs), jnp.asarray(bis), jnp.asarray(tn)
+    jre, jim = jnp.asarray(brs), jnp.asarray(bis)
     jfest = jax.jit(BL.coarse_carrier_est, static_argnums=(2, 3))
     fest = jfest(jre, jim, float(fs), 8320.0)
     _ = np.asarray(fest)  # force
 
+    # in-kernel time generation on the fused path: one less (B, total) f32
+    # input plane of DMA per window -> 1316 -> 1334 Msps (tune_results)
+    tgen = use_pallas == "fused" and B % 128 == 0
+    if tgen:
+        lo = np.arange(B) * plan.core - plan.head
+        pad0 = np.maximum(-lo, 0)
+        seeds = jnp.asarray(tt[np.clip(lo + 1 + pad0, 0,
+                                       len(tt) - 1)].astype(dt))
+        jpad0 = jnp.asarray(pad0.astype(dt))
+        jtn = None
+    else:
+        seeds = jpad0 = None
+        jtn = jnp.asarray(tn)
+
     def call():
         out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                              fest, 17.58, window, use_pallas)
+                              fest, 17.58, window, use_pallas, 0,
+                              seeds, jpad0)
         return np.asarray(out[2])  # fetch n_bits -> true completion
 
     nb = call()  # compile + warm
@@ -142,7 +157,7 @@ def run_bench(batch_blocks: int, iters: int):
 
     # sanity: frames decode from the staged real data
     out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                          fest, 17.58, window, use_pallas)
+                          fest, 17.58, window, use_pallas, 0, seeds, jpad0)
     fb = BL.extract_frames(POES_TIP.framer, plan.max_frames, *out[:3])
     n_frames = int(np.asarray(fb.count).sum())
     dev = str(jax.devices()[0])
