@@ -130,7 +130,8 @@ def run_bench(batch_blocks: int, iters: int):
     if tgen:
         lo = np.arange(B) * plan.core - plan.head
         pad0 = np.maximum(-lo, 0)
-        seeds = jnp.asarray(tt[np.clip(lo + 1 + pad0, 0,
+        off = 1 if params.interp > 1 else 0   # t[i+1] only for interp modes
+        seeds = jnp.asarray(tt[np.clip(lo + off + pad0, 0,
                                        len(tt) - 1)].astype(dt))
         jpad0 = jnp.asarray(pad0.astype(dt))
         jtn = None
@@ -208,7 +209,10 @@ def run_e2e(kres):
         t0 = time.perf_counter()
         jre, jim = jnp.asarray(r16), jnp.asarray(i16)
         jte = None if tgen else jnp.asarray(t_ext)
-        _ = np.asarray(jre[:1])     # force the host->device transfer
+        _ = np.asarray(jre[:1])     # force ALL host->device transfers
+        _ = np.asarray(jim[:1])
+        if jte is not None:
+            _ = np.asarray(jte[:1])
         t1 = time.perf_counter()
         out = BL.demod_frames_flat(params, POES_TIP.framer, plan, B,
                                    float(fs), window, use_pallas,

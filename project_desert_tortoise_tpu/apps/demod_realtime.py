@@ -59,6 +59,8 @@ def run(argv=None, default_mode="poes_tip_realtime", prefix="minorFrames"):
                              else "stdin")
     if source.startswith("follow"):
         path = source.split(":", 1)[1] if ":" in source else args.follow
+        if path is None:
+            p.error("--source follow requires a path (follow:PATH or --follow)")
         src = threading.Thread(target=follow_raw_file,
                                args=(sd.ring, path, stop), daemon=True)
     elif source.startswith("audio"):

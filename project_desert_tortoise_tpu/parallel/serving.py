@@ -105,6 +105,8 @@ class ChannelBank:
             if self.norm is None and ch == 0 and \
                     c.count >= self.cfg.chunk_size:
                 # same probe demodulate_many uses: channel 0's first chunk
+                # (the parity contract pins WHICH samples feed the probe;
+                # pump() holds dispatch until this has run)
                 iq = c.re[:self.cfg.chunk_size] + \
                     1j * c.im[:self.cfg.chunk_size]
                 self.norm = agc_ops.static_gain(
@@ -170,8 +172,16 @@ class ChannelBank:
         batch overlaps device compute of this one; a no-work pump (and
         drain()'s final iteration) flushes it."""
         with self._lock:
-            work = [(ci, b) for ci, c in enumerate(self.channels)
-                    for b in self._ready_blocks(c)]
+            if self.norm is None:
+                # hold blocks queued until the norm probe has run (push()
+                # probes the first channel to fill a chunk; drain() probes
+                # whatever channel 0 has at EOS) — dispatching early would
+                # demodulate the first blocks with gain 1.0 and later ones
+                # with the probed gain, breaking demodulate_many parity
+                work = []
+            else:
+                work = [(ci, b) for ci, c in enumerate(self.channels)
+                        for b in self._ready_blocks(c)]
             for ci, b in work:
                 self.channels[ci].next_block = \
                     max(self.channels[ci].next_block, b + 1)
@@ -199,7 +209,7 @@ class ChannelBank:
                                      self.cfg.gardner.baud / 2.0)
         bits_c, times_c, n_bits, _ = BL.demod_blocks(
             self.params, self.plan.total, jre, jim, self.fs,
-            jnp.asarray(tns), fest, float(self.norm or 1.0),
+            jnp.asarray(tns), fest, float(self.norm),
             self.window, self.use_pallas)
         return BL.extract_stitch_chan(
             self.cfg.framer, self.plan.max_frames,
@@ -231,13 +241,17 @@ class ChannelBank:
         """End-of-stream: process every remaining partial block."""
         for c in self.channels:
             c.ended = True
-        if self.norm is None and self.channels:
-            c0 = self.channels[0]
-            n = min(len(c0.re), self.cfg.chunk_size)
-            if n:
-                self.norm = agc_ops.static_gain(
-                    c0.re[:n] + 1j * c0.im[:n],
-                    self.cfg.static_gain_level, self.dt)
+        if self.norm is None:
+            # EOS with no channel ever filling a chunk: probe the first
+            # channel that has any samples (pump() holds work until a norm
+            # exists, so this must not stay None when there is data)
+            for c in self.channels:
+                n = min(len(c.re), self.cfg.chunk_size)
+                if n:
+                    self.norm = agc_ops.static_gain(
+                        c.re[:n] + 1j * c.im[:n],
+                        self.cfg.static_gain_level, self.dt)
+                    break
         total = 0
         while True:
             n = self.pump()

@@ -63,6 +63,34 @@ class DaytimeInfo:
     t0_ms_best: Optional[float]        # consensus stream-local T0 (ms of day)
     day_ms: List[float]                # ms-of-day at each frame-0
     minor_frame_ids: np.ndarray
+    # per-frame-0 T0 deviating >100 ms from the consensus — the reference's
+    # "...But this is probably an error" flag (daytimeDecode.m:65-67)
+    t0_outliers: Optional[np.ndarray] = None
+
+
+T0_THRESHOLD_MS = 100.0  # daytimeDecode.m:39 "100mS of jitter is MORE than enough"
+
+
+def _t0_consensus(t0s: List[float]):
+    """Consensus T0 via the mode of rounded candidates, made robust to
+    rounding fragmentation by scoring each candidate with its +/-100 ms
+    neighborhood support (daytimeDecode.m:38-44 declares T0Threshold=100 and
+    flags T0s outside it; a plain exact-ms mode can fragment a jittered
+    cluster across adjacent milliseconds where MATLAB's threshold would not).
+
+    Winner: candidate with the most supporters within +/-100 ms; ties break
+    toward the larger exact count, then the smaller value (MATLAB ``mode``).
+    Returns (t0_best, outlier_mask)."""
+    arr = np.asarray(t0s, np.float64)
+    rounded = np.round(arr)
+    vals, counts = np.unique(rounded, return_counts=True)
+    support = np.array([(np.abs(arr - v) <= T0_THRESHOLD_MS).sum()
+                        for v in vals])
+    # lexsort is stable ascending: last key dominates -> max support, then
+    # max exact count, then smallest value (vals already ascending)
+    order = np.lexsort((-counts, -support))
+    best = float(vals[order[0]])
+    return best, np.abs(arr - best) > T0_THRESHOLD_MS
 
 
 def daytime_decode(minor_frames: np.ndarray,
@@ -86,11 +114,7 @@ def daytime_decode(minor_frames: np.ndarray,
                 t0s.append(ms - times[i] * 1000.0)
             if day is None:
                 day = d
-    t0_best = None
-    if t0s:
-        rounded = np.round(t0s)
-        vals, counts = np.unique(rounded, return_counts=True)
-        t0_best = float(vals[counts.argmax()])
+    t0_best, outliers = (None, None) if not t0s else _t0_consensus(t0s)
     return DaytimeInfo(
         spacecraft_id=sc,
         spacecraft_name=SPACECRAFT.get(sc, "A UFO!"),
@@ -98,6 +122,7 @@ def daytime_decode(minor_frames: np.ndarray,
         t0_ms_best=t0_best,
         day_ms=day_ms,
         minor_frame_ids=ids.astype(np.int32),
+        t0_outliers=outliers,
     )
 
 

@@ -71,6 +71,28 @@ def test_serving_trims_history(recordings):
     assert c.base > 0
 
 
+def test_serving_holds_dispatch_until_norm_probe(recordings, offline_frames):
+    """A lagging channel 0 must not cause early blocks to be demodulated
+    with gain 1.0 (ADVICE r3): pump() holds ready blocks queued until the
+    norm probe has run, then catches up with full parity."""
+    C, n = recordings.shape
+    bank = ChannelBank(POES_TIP, 50000.0, C, plan=PLAN, batch_blocks=16)
+    # channel 1 races ahead: several blocks become ready pre-probe
+    bank.push(1, np.real(recordings[1, :80000]),
+              np.imag(recordings[1, :80000]))
+    assert bank.pump() == 0 and bank.norm is None
+    assert not bank.frames[1]
+    # channel 0 arrives; the probe runs on ITS first chunk (parity contract)
+    bank.push(0, np.real(recordings[0]), np.imag(recordings[0]))
+    bank.push(1, np.real(recordings[1, 80000:]),
+              np.imag(recordings[1, 80000:]))
+    assert bank.norm is not None
+    assert bank.pump() > 0
+    bank.drain()
+    for c in range(C):
+        assert _lines(bank.frames[c]) == _lines(offline_frames[c])
+
+
 def test_demod_serve_cli(recordings, offline_frames, tmp_path):
     """demod_serve CLI: N wavs in, per-channel frame files out, same frames
     as the offline fast path."""

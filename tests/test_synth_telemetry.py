@@ -54,6 +54,45 @@ def test_daytime_decode_spacecraft():
     assert np.all(d == 1)
 
 
+def _frame0_row(day: int, ms: int, spacecraft: int = 15) -> np.ndarray:
+    """A minor frame with id 0 carrying the day/ms-of-day words
+    (daytimeDecode.m:20-24 bit layout)."""
+    f = np.zeros(104, np.uint8)
+    f[2] = spacecraft
+    f[4] = 0
+    f[5] = 0                       # 9-bit frame id = 0
+    f[8] = (day >> 1) & 0xFF
+    f[9] = ((day & 1) << 7) | ((ms >> 24) & 0b111)
+    f[10] = (ms >> 16) & 0xFF
+    f[11] = (ms >> 8) & 0xFF
+    f[12] = ms & 0xFF
+    return f
+
+
+def test_t0_consensus_binning():
+    """Jittered frame timestamps fragment an exact-rounded-ms mode across
+    adjacent milliseconds; the +/-100 ms window (daytimeDecode.m:39
+    T0Threshold) must keep the true cluster together and out-vote a
+    repeated bogus value."""
+    t0_true = 50_000_000.0         # ms of day
+    times = np.array([10.0, 20.0, 30.0, 40.0, 55.0, 60.0])
+    jitter = np.array([-40.0, 30.0, 45.0, -25.0, 0.0, 0.0])
+    rows, tvals = [], []
+    for t, j in zip(times[:4], jitter[:4]):
+        rows.append(_frame0_row(241, int(round(t0_true + t * 1000.0 + j))))
+        tvals.append(t)
+    for t in times[4:]:            # two identical corrupted T0s, 1000 s off
+        rows.append(_frame0_row(241, int(round(t0_true - 1e6 + t * 1000.0))))
+        tvals.append(t)
+    info = daytime_decode(np.stack(rows), np.asarray(tvals))
+    # exact-ms mode would pick the bogus pair (count 2 beats four count-1
+    # fragments); windowed support must recover the jittered majority
+    assert abs(info.t0_ms_best - t0_true) <= 100.0
+    assert info.t0_outliers is not None
+    assert info.t0_outliers.tolist() == [False] * 4 + [True] * 2
+    assert info.julian_day == 241
+
+
 def test_positive_carrier_offset():
     res, sent = _decode(carrier=2500.0)
     assert res.total_frames >= len(sent) - 3
