@@ -11,6 +11,10 @@ writes:
 - ``<TXID>.txt``       — per-platform packet files (POES.m:1216)
 - ``HIRS<n>.png``      — 20 channel images (POES.m:855)
 - ``SEM_MEPED.txt`` / ``SEM_TED.txt`` / ``SBUV.txt`` — channel dumps
+- ``analog.txt`` + figure PNGs — the MATLAB prototype's plot products
+  rendered without matplotlib (utils/png.py): analog transmitter powers
+  (POES.m:513), SEM MEPED/TED channel groups (POES.m:1314-1779), SBUV
+  grating position / cloud cover (POES.m:1780-1972)
 """
 
 from __future__ import annotations
@@ -33,7 +37,8 @@ def run(argv=None):
     from project_desert_tortoise_tpu.telemetry.minorframes import (
         check_parity, daytime_decode)
     from project_desert_tortoise_tpu.utils.output import parse_frames_file
-    from project_desert_tortoise_tpu.utils.png import autoscale_u8, write_gray_png
+    from project_desert_tortoise_tpu.utils.png import (
+        autoscale_u8, render_series_png, write_gray_png)
 
     rows = parse_frames_file(args.frames_txt)
     frames = np.array([r[2] for r in rows if len(r[2]) == 104], np.uint8)
@@ -102,7 +107,55 @@ def run(argv=None):
         for name, d in sb.items():
             f.write(f"{name}: w1={d['word1'].tolist()} "
                     f"w2={d['word2'].tolist()}\n")
-    print(f"products -> {args.outdir}/")
+
+    # analog subcom dump + figure products (the POES.m plot windows)
+    analog = tip.analog_subcom(frames, times)
+    with open(os.path.join(args.outdir, "analog.txt"), "w") as f:
+        for name, tv in analog.items():
+            f.write(f"{name}: t={tv[0].tolist()} v={tv[1].tolist()}\n")
+    figs = {}
+
+    def fig(fname, series, **kw):
+        series = {k: v for k, v in series.items() if len(np.asarray(v[0]))}
+        if series:
+            render_series_png(os.path.join(args.outdir, fname), series, **kw)
+            figs[fname] = len(series)
+
+    fig("analog_telemetry.png",
+        {k: (tv[0], tv[1]) for k, tv in analog.items()},
+        title="Analog subcom (POES.m:513)", xlabel="time (s)",
+        ylabel="counts")
+    counts = lambda d, keys: {k: (np.arange(len(d[k])),
+                                  tip.despike(d[k])) for k in keys if k in d}
+    fig("SEM_MEPED_P0.png", counts(meped, [f"0P{i}" for i in range(1, 7)]),
+        title="MEPED 0 deg protons", xlabel="subcom sample", ylabel="counts")
+    fig("SEM_MEPED_P90.png", counts(meped, [f"9P{i}" for i in range(1, 7)]),
+        title="MEPED 90 deg protons", xlabel="subcom sample", ylabel="counts")
+    fig("SEM_MEPED_E.png",
+        counts(meped, ["0E1", "0E2", "0E3", "9E1", "9E2", "9E3"]),
+        title="MEPED electrons", xlabel="subcom sample", ylabel="counts")
+    fig("SEM_MEPED_OMNI.png", counts(meped, ["P6", "P7", "P8", "P9"]),
+        title="MEPED omni protons", xlabel="subcom sample", ylabel="counts")
+    fig("SEM_TED_FLUX0.png", counts(ted, ["0EFL", "0PFL", "0EFH", "0PFH"]),
+        title="TED 0 deg partial energy flux", xlabel="subcom sample",
+        ylabel="counts")
+    fig("SEM_TED_FLUX30.png", counts(ted, ["3EFL", "3PFL", "3EFH", "3PFH"]),
+        title="TED 30 deg partial energy flux", xlabel="subcom sample",
+        ylabel="counts")
+    g = sb.get("grating_pos", {})
+    if len(g.get("time", ())):
+        fig("SBUV_grating.png",
+            {"word 1": (g["time"], g["word1"]),
+             "word 2": (g["time"], g["word2"])},
+            title="SBUV grating position", xlabel="time (s)", ylabel="raw")
+    c = sb.get("cloud_cover", {})
+    if len(c.get("time", ())):
+        fig("SBUV_cloud.png",
+            {"word 1": (c["time"], c["word1"]),
+             "word 2": (c["time"], c["word2"])},
+            title="SBUV cloud cover radiometer", xlabel="time (s)",
+            ylabel="raw")
+    print(f"figures: {len(figs)} PNGs; products -> {args.outdir}/")
     return 0
 
 

@@ -135,3 +135,9 @@ def test_telemetry_explorer_cli(tmp_path, taps_dir):
     assert (out / "DCS_RAW.txt").exists()
     assert (out / "HIRS1.png").read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
     assert (out / "SEM_MEPED.txt").exists()
+    # figure products (the POES.m plot windows, VERDICT r3 item 7): analog
+    # transmitter powers, SEM channel groups, SBUV lines — all valid PNGs
+    for fig in ["analog_telemetry.png", "SEM_MEPED_P0.png",
+                "SEM_MEPED_E.png", "SEM_TED_FLUX0.png", "SBUV_grating.png"]:
+        assert (out / fig).read_bytes()[:8] == b"\x89PNG\r\n\x1a\n", fig
+    assert (out / "analog.txt").exists()
