@@ -56,6 +56,13 @@ def run(argv=None, default_mode="poes_tip", prefix="minorFrames"):
         if args.sample_rate_khz < 1:
             print("Sample Rate (in Khz) must be specified when using RAW files")
             return 1
+        if mode.name.startswith("argos"):
+            # deliberate divergence (docs/DESIGN.md section 6): the reference
+            # ARGOS app rejects RAW input (ARGOSdemod/main.c:237-239); the
+            # shared RAW reader is mode-agnostic so we accept it, with notice
+            print("note: RAW input for ARGOS is a framework extension "
+                  "(the reference demodARGOS accepts wav only)",
+                  file=sys.stderr)
         iq, t, fs = W.load_iq_raw(args.infile, args.sample_rate_khz * 1000.0,
                                   mode.np_dtype())
     else:

@@ -53,6 +53,32 @@ def test_demod_argos_cli_on_synth(tmp_path):
     assert len(got & sent) >= 2
 
 
+def test_demod_argos_cli_raw_extension_notice(tmp_path):
+    """RAW input for ARGOS is a deliberate divergence (the reference rejects
+    it, ARGOSdemod/main.c:237-239; DESIGN.md section 6): accepted, with a
+    one-line stderr notice."""
+    import numpy as np
+    from project_desert_tortoise_tpu.utils import synth
+    iq, payloads = synth.make_argos_recording(n_packets=3, fs=32000.0,
+                                              snr_db=30.0)
+    raw = tmp_path / "a.raw"
+    planes = np.empty(2 * len(iq), np.float32)
+    planes[0::2] = np.real(iq).astype(np.float32)
+    planes[1::2] = np.imag(iq).astype(np.float32)
+    planes.tofile(raw)
+    out = tmp_path / "packets.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "project_desert_tortoise_tpu.apps.demod_argos",
+         str(raw), "-s", "32", "--out", str(out)],
+        cwd=tmp_path, capture_output=True, text=True, timeout=500, env=ENV)
+    assert r.returncode == 0, r.stderr[-400:]
+    assert "framework extension" in r.stderr
+    lines = [l for l in open(out) if l.strip()]
+    sent = {" ".join(f"{b:02X}" for b in p) for p in payloads}
+    got = {l.split(" ", 1)[1].strip() for l in lines}
+    assert len(got & sent) >= 2
+
+
 def test_demod_poes_fast_cli_with_products(tmp_path, taps_dir):
     out = tmp_path / "frames.txt"
     prod = tmp_path / "products"
