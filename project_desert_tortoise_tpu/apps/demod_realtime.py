@@ -32,11 +32,16 @@ def run(argv=None, default_mode="poes_tip_realtime", prefix="minorFrames"):
     p.add_argument("-c", dest="chunk_size", type=int, default=0)
     p.add_argument("--mode", default=default_mode)
     p.add_argument("--out", default=None)
+    p.add_argument("--fast", action="store_true",
+                   help="route through the block-parallel TPU path (a "
+                        "1-channel ChannelBank; offline-fast frame parity, "
+                        "core+tail output latency) instead of the exact "
+                        "sample-sequential chain")
     args = p.parse_args(argv)
 
     from project_desert_tortoise_tpu.models.registry import get_mode
     from project_desert_tortoise_tpu.models.streaming import (
-        StreamingDemodulator, follow_raw_file)
+        FastStreamingDemodulator, StreamingDemodulator, follow_raw_file)
     from project_desert_tortoise_tpu.utils import output as O
 
     mode = get_mode(args.mode)
@@ -44,9 +49,15 @@ def run(argv=None, default_mode="poes_tip_realtime", prefix="minorFrames"):
     out_path = args.out or O.default_output_name(prefix)
     writer = O.FrameWriter(out_path, inverted_mark=mode.framer.inverted_mark)
 
-    sd = StreamingDemodulator(mode, fs, chunk_size=args.chunk_size or None,
-                              norm_factor=args.norm_factor or None,
-                              on_frame=writer.write)
+    if args.fast:
+        sd = FastStreamingDemodulator(mode, fs,
+                                      norm_factor=args.norm_factor or None,
+                                      on_frame=writer.write)
+    else:
+        sd = StreamingDemodulator(mode, fs,
+                                  chunk_size=args.chunk_size or None,
+                                  norm_factor=args.norm_factor or None,
+                                  on_frame=writer.write)
     stop = threading.Event()
 
     def on_sigint(sig, frm):

@@ -58,7 +58,9 @@ def _kernel(params, agc_params, poly, interp, window, squelch_after_pll,
         new, (soft, lock) = pll_ops._step(params, st, re_ref[i], im_ref[i])
         lock_ref[i] = lock
         if squelch_after_pll:
-            soft = jnp.where(lock < jnp.asarray(squelch_thr, dt),
+            # |lock|: block relock may settle at the inverted BPSK point
+            # (see parallel/blocked.py squelch note)
+            soft = jnp.where(jnp.abs(lock) < jnp.asarray(squelch_thr, dt),
                              jnp.zeros_like(soft), soft)
 
         # shift FIR history (plane 6 = newest)

@@ -102,7 +102,10 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
             avg_phase=s[P0 + 3], sweep=s[P0 + 4], locked=s[P0 + 5] > 0.5)
         new, (soft, lock) = pll_ops._step(cp.pll, st, re_ref[i], im_ref[i])
         if squelch_pos == "after_pll":
-            soft = jnp.where(lock < c(squelch_thr), jnp.zeros_like(soft), soft)
+            # |lock|: block relock may settle at the inverted BPSK point
+            # (see parallel/blocked.py squelch note)
+            soft = jnp.where(jnp.abs(lock) < c(squelch_thr),
+                             jnp.zeros_like(soft), soft)
 
         hist = [soft] + [s[H0 + m] for m in range(hist_len - 1)]
         gain = s[G0]
@@ -135,7 +138,8 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
             gain = jnp.where(gain < 0.0, c(min_gain), gain)
             gain = jnp.where(gain > c(max_gain), c(max_gain), gain)
             if squelch_pos == "after_agc":
-                y = jnp.where(lock < c(squelch_thr), jnp.zeros_like(y), y)
+                y = jnp.where(jnp.abs(lock) < c(squelch_thr),
+                              jnp.zeros_like(y), y)
             produced.append(y)
         ring_v = produced[::-1] + ring_v[:ring - interp]
         ring_t = [tval_in] * interp + ring_t[:ring - interp]

@@ -222,13 +222,21 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
             params, pll_state, gain0, (blocks_re, blocks_im), window=window,
             interpret=_use_interpret())
         if params.squelch_position == "after_agc":
-            y = agc_ops.squelch(y, locksig, params.squelch_threshold)
+            # |locksig|: warm-started blocks may settle at the inverted BPSK
+            # lock point (projection ~ -1); the 180-degree ambiguity is
+            # absorbed by the framer's inverted-sync path, so the squelch
+            # indicator must be polarity-invariant here (the exact chain
+            # keeps the reference's signed compare — its sweep only ever
+            # declares lock on the positive point)
+            y = agc_ops.squelch(y, jnp.abs(locksig),
+                                params.squelch_threshold)
     else:
         pll_state, soft, locksig = pll_ops.pll_scan(params.pll, pll_state,
                                                     (blocks_re, blocks_im),
                                                     window=window)
         if params.squelch_position == "after_pll":
-            soft = agc_ops.squelch(soft, locksig, params.squelch_threshold)
+            soft = agc_ops.squelch(soft, jnp.abs(locksig),
+                                   params.squelch_threshold)
 
         y = fir_ops.fir_interp(soft, taps, interp)
         agc_state = agc_ops.agc_init(norm_gain, dt, (B,))
@@ -236,7 +244,8 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
                                         params.agc_decay,
                                         window=window * interp if window else 0)
         if params.squelch_position == "after_agc":
-            y = agc_ops.squelch(y, locksig, params.squelch_threshold)
+            y = agc_ops.squelch(y, jnp.abs(locksig),
+                                params.squelch_threshold)
 
     t_out = fir_ops.fir_out_times(t_next, interp) if interp > 1 else t_next
 

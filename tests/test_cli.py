@@ -79,6 +79,30 @@ def test_demod_argos_cli_raw_extension_notice(tmp_path):
     assert len(got & sent) >= 2
 
 
+def test_demod_realtime_fast_cli_stdin(tmp_path):
+    """demod_realtime --fast: the realtime CLI rides the block-parallel
+    fast path (1-channel ChannelBank) end-to-end from a stdin IQ stream."""
+    import numpy as np
+    from project_desert_tortoise_tpu.utils import synth
+    iq, sent = synth.make_poes_recording(n_frames=10, fs=50000.0,
+                                         snr_db=28.0)
+    planes = np.empty(2 * len(iq), np.float32)
+    planes[0::2] = np.real(iq).astype(np.float32)
+    planes[1::2] = np.imag(iq).astype(np.float32)
+    out = tmp_path / "frames.txt"
+    r = subprocess.run(
+        [sys.executable, "-m",
+         "project_desert_tortoise_tpu.apps.demod_realtime",
+         "--fast", "-s", "50", "--out", str(out)],
+        cwd=tmp_path, input=planes.tobytes(), capture_output=True,
+        timeout=500, env=ENV)
+    assert r.returncode == 0, r.stderr[-400:]
+    lines = [l for l in open(out) if l.strip()]
+    sent_set = {" ".join(f"{b:02X}" for b in p) for p in sent}
+    got = {l.split(" ", 1)[1].strip() for l in lines}
+    assert len(got & sent_set) >= len(sent) - 3
+
+
 def test_demod_poes_fast_cli_with_products(tmp_path, taps_dir):
     out = tmp_path / "frames.txt"
     prod = tmp_path / "products"

@@ -71,6 +71,29 @@ def test_serving_trims_history(recordings):
     assert c.base > 0
 
 
+def test_fast_streaming_matches_offline(recordings, offline_frames):
+    """demod_realtime --fast backing class: a ring-fed 1-channel ChannelBank
+    must emit exactly the offline fast-path frames for a replayed recording
+    (VERDICT r3 item 5)."""
+    import threading
+    from project_desert_tortoise_tpu.models.streaming import (
+        FastStreamingDemodulator, feed_array)
+    sd = FastStreamingDemodulator(POES_TIP, 50000.0, plan=PLAN,
+                                  batch_blocks=16)
+    iq = recordings[0]
+
+    def produce():
+        feed_array(sd.ring, iq, chunk=4096)
+        sd.stop()
+
+    prod = threading.Thread(target=produce, daemon=True)
+    prod.start()
+    frames = sd.run(poll_s=0.002)
+    prod.join(timeout=30)
+    assert sd.overruns == 0
+    assert _lines(frames) == _lines(offline_frames[0])
+
+
 def test_serving_holds_dispatch_until_norm_probe(recordings, offline_frames):
     """A lagging channel 0 must not cause early blocks to be demodulated
     with gain 1.0 (ADVICE r3): pump() holds ready blocks queued until the
