@@ -171,11 +171,17 @@ def run_e2e(kres):
     """Whole-file wall clock: wav samples -> stitched frames on the host.
 
     Times everything the reference's elapsed-seconds figure covers
-    (POESTIPdemod/main.c:500): host block staging, device transfer, carrier
+    (POESTIPdemod/main.c:500): host slicing, device transfer, carrier
     estimate, the full demod + framing + stitching dispatch, and the frame
-    fetch.  Reuses the already-compiled kernels from run_bench where shapes
-    match (same B/window/plan), so this measures steady-state serving, not
-    compile time."""
+    fetch.  Round-4 redesign (VERDICT r3 item 1):
+      - the upload is PIPELINED (demod_frames_flat_pipelined): slice k+1's
+        host->device transfer rides under slice k's demod, so on a
+        transfer-bound link the wall collapses to ~max(upload, compute);
+      - every figure is the MEDIAN of >= PDT_BENCH_E2E_PASSES timed passes
+        (the container tunnel's rate swings run to run);
+      - e2e_device_msps reports the same sliced path with all slices
+        pre-staged on device — the compute-only rate a PCIe-attached host
+        would approach — next to the tunnel-bound wall number."""
     import jax.numpy as jnp
     from project_desert_tortoise_tpu.parallel import blocked as BL
     from project_desert_tortoise_tpu.utils.config import POES_TIP
@@ -187,50 +193,89 @@ def run_e2e(kres):
     rr, ii, tt, fs = kres["staged"]
     n = B * plan.core
     need = n + plan.tail
+    n_slices = int(os.environ.get("PDT_BENCH_E2E_SLICES", "4"))
+    n_pass = int(os.environ.get("PDT_BENCH_E2E_PASSES", "3"))
+    while B % n_slices:
+        n_slices -= 1
+    Bs = B // n_slices
     # PCM int16 planes (the wav's native samples; /32768 reconversion on
-    # device is bit-exact, common/wave.c:117) — halves upload bytes and
-    # moves block windowing on-device (demod_frames_flat)
+    # device is bit-exact, common/wave.c:117) — halves upload bytes; block
+    # windows are cut on device (demod_frames_flat)
     r16 = np.round(rr[:need] * 32768.0).astype(np.int16)
     i16 = np.round(ii[:need] * 32768.0).astype(np.int16)
     t_ext = tt[:need + 1]
-    bounds = jnp.asarray(BL.flat_bounds(t_ext, need, plan, B), dt)
-    # in-kernel time generation: upload B seeds instead of the (n+1,) f32
-    # axis — another third off the host->device bytes (fused path only)
-    tgen = use_pallas == "fused" and B % 128 == 0
-    if tgen:
-        lo = np.arange(B) * plan.core - plan.head
-        pad0 = np.maximum(-lo, 0)
-        off = 1 if params.interp > 1 else 0
-        seeds = jnp.asarray(t_ext[np.clip(lo + off + pad0, 0,
-                                          len(t_ext) - 1)].astype(dt))
-        jpad0 = jnp.asarray(pad0.astype(dt))
+    # in-kernel time generation: upload Bs seeds per slice instead of the
+    # (n+1,) f32 axis — another third off the host->device bytes
+    tgen = use_pallas == "fused" and Bs % 128 == 0
 
     def pass_once():
         t0 = time.perf_counter()
-        jre, jim = jnp.asarray(r16), jnp.asarray(i16)
-        jte = None if tgen else jnp.asarray(t_ext)
-        _ = np.asarray(jre[:1])     # force ALL host->device transfers
-        _ = np.asarray(jim[:1])
-        if jte is not None:
-            _ = np.asarray(jte[:1])
-        t1 = time.perf_counter()
-        out = BL.demod_frames_flat(params, POES_TIP.framer, plan, B,
-                                   float(fs), window, use_pallas,
-                                   jre, jim, jte, 17.58, bounds,
-                                   t_seed=seeds if tgen else None,
-                                   t_pad0=jpad0 if tgen else None)
-        frames = BL._fetch_frames(out)
-        t2 = time.perf_counter()
-        return frames, t1 - t0, t2 - t1
+        frames = BL.demod_frames_flat_pipelined(
+            params, POES_TIP.framer, plan, B, float(fs), window, use_pallas,
+            r16, i16, t_ext, 17.58, n_slices=n_slices, tgen=tgen)
+        return frames, time.perf_counter() - t0
 
-    pass_once()                     # warm/compile (not timed)
-    frames, transfer_s, compute_s = pass_once()
-    wall = transfer_s + compute_s
+    frames, _ = pass_once()         # warm/compile (not timed)
+    walls = [pass_once()[1] for _ in range(n_pass)]
+    wall = float(np.median(walls))
+
+    # device-only rate: same sliced executable, slices pre-staged on device
+    core, head, total = plan.core, plan.head, plan.total
+    span = (Bs - 1) * core + total
+    zlead = np.zeros(head, np.int16)
+    rrl = np.concatenate([zlead, r16])
+    iil = np.concatenate([zlead, i16])
+    off = 1 if params.interp > 1 else 0
+    t_stage = np.concatenate([np.zeros(head, dt), t_ext[off:].astype(dt)])
+    bounds_g = BL.flat_bounds(t_ext, need, plan, B)
+    lo = np.arange(B) * core - head
+    pad0_g = np.maximum(-lo, 0)
+    seeds_g = t_ext[np.clip(lo + off + pad0_g, 0, len(t_ext) - 1)].astype(dt)
+
+    def cut_np(a, s0):
+        seg = a[s0:s0 + span]
+        return seg if len(seg) == span else np.concatenate(
+            [seg, np.zeros(span - len(seg), a.dtype)])
+
+    staged = []
+    for k in range(n_slices):
+        s0 = k * Bs * core
+        staged.append((
+            jnp.asarray(cut_np(rrl, s0)), jnp.asarray(cut_np(iil, s0)),
+            None if tgen else jnp.asarray(cut_np(t_stage, s0)),
+            jnp.asarray(seeds_g[k * Bs:(k + 1) * Bs]) if tgen else None,
+            jnp.asarray(pad0_g[k * Bs:(k + 1) * Bs].astype(dt))
+            if tgen else None,
+            jnp.asarray(bounds_g[k * Bs:(k + 1) * Bs], dt)))
+    for s in staged:                # force the uploads before timing
+        _ = np.asarray(s[0][:1])
+        _ = np.asarray(s[1][:1])
+
+    def device_pass():
+        t0 = time.perf_counter()
+        pending = None
+        nf = 0
+        for jre, jim, jte, seeds, pad0, bnd in staged:
+            out = BL.demod_frames_flat(
+                params, POES_TIP.framer, plan, Bs, float(fs), window,
+                use_pallas, jre, jim, jte, 17.58, bnd,
+                t_seed=seeds, t_pad0=pad0, pre_staged=True)
+            if pending is not None:
+                nf += len(BL._fetch_frames(pending))
+            pending = out
+        nf += len(BL._fetch_frames(pending))
+        return nf, time.perf_counter() - t0
+
+    device_pass()                   # warm (same executable; cheap)
+    dev_s = float(np.median([device_pass()[1] for _ in range(n_pass)]))
     return {"e2e_msps": n / wall / 1e6, "e2e_wall_s": wall,
             "e2e_frames": len(frames),
-            # transfer rides the axon relay tunnel in this environment
-            # (PCIe/DMA on a real TPU VM); staging happens on device
-            "e2e_transfer_s": transfer_s, "e2e_compute_s": compute_s}
+            "e2e_passes": n_pass, "e2e_slices": n_slices,
+            "e2e_wall_spread_s": [round(float(w), 3) for w in walls],
+            # device-only rate (transfer excluded): what PCIe approaches
+            "e2e_device_s": dev_s, "e2e_device_msps": n / dev_s / 1e6,
+            # the remainder is the container tunnel (PCIe/DMA on a TPU VM)
+            "e2e_transfer_est_s": max(0.0, wall - dev_s)}
 
 
 def child_main():
@@ -309,8 +354,12 @@ def child_main():
         "impl": result["impl"], "B": result["B"],
         "device": result["dev"],
     }
-    # E2E row under its own alarm: never sacrifice the kernel number
-    e2e_alarm = int(min(float(os.environ.get("PDT_BENCH_E2E_ALARM", "420")),
+    # E2E row under its own alarm: never sacrifice the kernel number.
+    # The sliced executable (Bs = B / n_slices blocks) is a separate Mosaic
+    # compile from the kernel row's B-block one — cold it can take minutes,
+    # so give the e2e phase whatever the deadline still allows (median-of-3
+    # timed passes typically need ~3x the single-pass wall on top).
+    e2e_alarm = int(min(float(os.environ.get("PDT_BENCH_E2E_ALARM", "900")),
                         deadline - time.time() - 10))
     if e2e_alarm < 60:
         line["e2e_error"] = "skipped (deadline)"
@@ -324,8 +373,14 @@ def child_main():
         line["e2e_wall_s"] = round(e2e["e2e_wall_s"], 3)
         line["e2e_vs_baseline"] = round(e2e["e2e_msps"] / BASELINE_MSPS, 2)
         line["e2e_frames"] = e2e["e2e_frames"]
-        line["e2e_transfer_s"] = round(e2e["e2e_transfer_s"], 3)
-        line["e2e_compute_s"] = round(e2e["e2e_compute_s"], 3)
+        line["e2e_device_msps"] = round(e2e["e2e_device_msps"], 2)
+        line["e2e_device_vs_baseline"] = round(
+            e2e["e2e_device_msps"] / BASELINE_MSPS, 2)
+        line["e2e_device_s"] = round(e2e["e2e_device_s"], 3)
+        line["e2e_transfer_est_s"] = round(e2e["e2e_transfer_est_s"], 3)
+        line["e2e_passes"] = e2e["e2e_passes"]
+        line["e2e_slices"] = e2e["e2e_slices"]
+        line["e2e_wall_spread_s"] = e2e["e2e_wall_spread_s"]
     except Timeout:
         line["e2e_error"] = "timeout"
     except Exception as e:  # noqa: BLE001

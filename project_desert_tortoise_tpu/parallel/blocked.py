@@ -310,11 +310,12 @@ def demod_frames(params: chain_lib.ChainParams, total: int, framer_cfg,
     return framer_ops.stitch_frames(fb, bounds, B * max_frames)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 14))
 def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
                       plan: BlockPlan, B: int, fs: float, window: int,
                       use_pallas, re_flat, im_flat, t_ext, norm_gain,
-                      bounds, t_seed=None, t_pad0=None):
+                      bounds, t_seed=None, t_pad0=None,
+                      pre_staged: bool = False):
     """Whole-file demod from CONTIGUOUS device arrays — one upload, one
     dispatch, one frame fetch.
 
@@ -331,6 +332,12 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
     tail beyond n reads as zero, like the host stager).  t_ext: (n+1,)
     stage time axis.  bounds: (B, 2) core time intervals (host-computed,
     tiny).  Returns stitched (times, inverted, data, count).
+
+    pre_staged=True (the pipelined slice path): re_flat/im_flat already
+    START with the head region of block 0 (real neighbor samples, or host
+    zeros for the stream start) and t_ext is the already-offset, already-
+    zero-leaded per-sample stage time array aligned with them — no device-
+    side zero lead or t[i+1] shift is applied.
     """
     dt = jnp.float32
     if re_flat.dtype == jnp.int16:
@@ -349,7 +356,7 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
     # by the time-generation parity test).
     npieces = -(-total // core)
     plen = (npieces - 1) * core + B * core
-    z = jnp.zeros((head,), dt)
+    z = jnp.zeros((0 if pre_staged else head,), dt)
 
     def pad_to(x, start_pad):
         usable = plen - start_pad.shape[0]
@@ -368,8 +375,7 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
     brs = cut(pad_to(re_flat, z))
     bis = cut(pad_to(im_flat, z))
     if t_ext is not None:
-        shift = params.interp > 1
-        off = 1 if shift else 0
+        off = 0 if pre_staged else (1 if params.interp > 1 else 0)
         tns = cut(pad_to(t_ext[off:], z))
     else:
         # time-generation mode: no time plane at all — the fused kernel
@@ -385,6 +391,81 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
     fb = framer_ops.frame_extract(bits_c, times_c, n_bits, framer_cfg,
                                   plan.max_frames)
     return framer_ops.stitch_frames(fb, bounds, B * plan.max_frames)
+
+
+def demod_frames_flat_pipelined(params: chain_lib.ChainParams, framer_cfg,
+                                plan: BlockPlan, B: int, fs: float,
+                                window: int, use_pallas, re16, im16,
+                                t_ext, norm_gain, n_slices: int = 4,
+                                tgen: bool = False) -> List[Frame]:
+    """Sliced, transfer/compute-overlapped whole-file demod (VERDICT r3
+    item 1a): the flat sample planes are cut into ``n_slices`` contiguous
+    slices of B/n_slices blocks each and dispatched in sequence, so the
+    host->device upload of slice k+1 rides under the device demod of slice
+    k (the reference figure of merit is whole-file wall seconds,
+    POESTIPdemod/main.c:500 — on a transfer-bound link the wall collapses
+    to max(upload, compute) + one slice latency instead of upload+compute).
+
+    Every slice ships the same [head | Bs*core + tail] window layout: the
+    host prepends one zero lead for the stream start, slices overlap by
+    head + tail samples (<1% duplication at production block sizes), and
+    ``demod_frames_flat(pre_staged=True)`` cuts windows with no device-side
+    lead, so one compiled executable serves all slices.
+
+    re16/im16: (n,) int16 (or float32) host planes; t_ext: (n+1,)
+    accumulated stage time axis.  tgen=True (fused path only) uploads
+    per-block time seeds instead of the time plane.  Frame-identical to
+    one-shot ``demod_frames_flat`` over the same planes (test_blocked).
+    """
+    dt = np.float32
+    core, head, total = plan.core, plan.head, plan.total
+    if B % n_slices != 0:
+        raise ValueError(f"B={B} must divide into n_slices={n_slices}")
+    Bs = B // n_slices
+    span = (Bs - 1) * core + total
+    zlead = np.zeros(head, re16.dtype)
+    rr = np.concatenate([zlead, re16])
+    ii = np.concatenate([zlead, im16])
+    off = 1 if params.interp > 1 else 0
+    t_ext = np.asarray(t_ext, dt)
+    if tgen:
+        lo = np.arange(B) * core - head
+        pad0_g = np.maximum(-lo, 0)
+        seeds_g = t_ext[np.clip(lo + off + pad0_g, 0, len(t_ext) - 1)]
+        t_stage = None
+    else:
+        t_stage = np.concatenate([np.zeros(head, dt), t_ext[off:]])
+    bounds_g = flat_bounds(t_ext, len(re16), plan, B)
+
+    def cut_np(a, s0):
+        seg = a[s0:s0 + span]
+        if len(seg) < span:
+            seg = np.concatenate([seg, np.zeros(span - len(seg), a.dtype)])
+        return seg
+
+    frames: List[Frame] = []
+    pending = None
+    for k in range(n_slices):
+        s0 = k * Bs * core
+        jre = jnp.asarray(cut_np(rr, s0))
+        jim = jnp.asarray(cut_np(ii, s0))
+        jte = None if tgen else jnp.asarray(cut_np(t_stage, s0))
+        seeds = jnp.asarray(seeds_g[k * Bs:(k + 1) * Bs]) if tgen else None
+        pad0 = jnp.asarray(pad0_g[k * Bs:(k + 1) * Bs].astype(dt)) \
+            if tgen else None
+        out = demod_frames_flat(
+            params, framer_cfg, plan, Bs, fs, window, use_pallas,
+            jre, jim, jte, norm_gain,
+            jnp.asarray(bounds_g[k * Bs:(k + 1) * Bs], dt),
+            t_seed=seeds, t_pad0=pad0, pre_staged=True)
+        # fetch slice k-1 only after dispatching slice k (upload/compute
+        # overlap, the demodulate_blocked pattern)
+        if pending is not None:
+            frames.extend(_fetch_frames(pending))
+        pending = out
+    frames.extend(_fetch_frames(pending))
+    frames.sort(key=lambda f: f.time)
+    return frames
 
 
 def flat_bounds(t_ext: np.ndarray, n: int, plan: BlockPlan, B: int):

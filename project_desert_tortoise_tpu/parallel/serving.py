@@ -63,13 +63,18 @@ class ChannelBank:
                  window: int = 4096, use_pallas=False,
                  norm_factor: Optional[float] = None,
                  on_frame: Optional[Callable[[int, Frame], None]] = None,
-                 dtype=np.float32):
+                 dtype=np.float32, pad_batches: bool = True):
         self.cfg = mode_cfg
         self.fs = float(fs)
         self.dt = np.dtype(dtype)
         self.params = chain_lib.make_params(mode_cfg, fs, quirks=False)
         self.plan = plan or BL.default_plan(mode_cfg, fs)
         self.batch_blocks = batch_blocks
+        # pad partial batches to batch_blocks with silent blocks (inf
+        # bounds -> no frames survive stitching): every dispatch reuses ONE
+        # compiled executable instead of recompiling per novel ready-block
+        # count — a multi-second latency spike per new batch size otherwise
+        self.pad_batches = pad_batches
         self.window = window
         self.use_pallas = use_pallas
         self.on_frame = on_frame
@@ -132,8 +137,12 @@ class ChannelBank:
         return out
 
     def _stage(self, items):
-        """items: list of (ch, block). Returns staged device batch arrays."""
-        bn = len(items)
+        """items: list of (ch, block). Returns staged device batch arrays,
+        padded to batch_blocks rows (silent blocks, inf bounds) so the
+        dispatch shape is constant."""
+        bn = self.batch_blocks if (self.pad_batches
+                                   and len(items) < self.batch_blocks) \
+            else len(items)
         P = self.plan
         brs = np.zeros((bn, P.total), self.dt)
         bis = np.zeros((bn, P.total), self.dt)

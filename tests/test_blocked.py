@@ -135,6 +135,62 @@ def test_flat_time_generation_matches_time_plane(poes_clip):
     assert len(ref) > 40
 
 
+def test_flat_pipelined_matches_one_shot(poes_clip):
+    """demod_frames_flat_pipelined (sliced upload/compute overlap, VERDICT
+    r3 item 1a) must be frame-identical to the one-shot flat path — int16
+    planes, XLA path, and the fused time-generation path."""
+    import jax.numpy as jnp
+    from project_desert_tortoise_tpu import chain as chain_lib
+    from project_desert_tortoise_tpu.parallel.blocked import (
+        BlockPlan, _fetch_frames, demod_frames_flat,
+        demod_frames_flat_pipelined, flat_bounds)
+    from project_desert_tortoise_tpu.utils import wav as W
+
+    iq, t, fs = poes_clip
+    plan = BlockPlan(core=8192, head=12288, tail=8192, max_frames=8)
+    reps = -(-32 * plan.core // len(iq))
+    iq = np.tile(iq, reps)
+    re = np.real(iq).astype(np.float32)
+    im = np.imag(iq).astype(np.float32)
+    r16 = np.round(re * 32768.0).astype(np.int16)
+    i16 = np.round(im * 32768.0).astype(np.int16)
+    B = 32
+    t_ext = W.time_axis(len(iq) + 1, fs, np.float32)
+    bounds = flat_bounds(t_ext, len(iq), plan, B)
+    params = chain_lib.make_params(POES_TIP, fs, quirks=False)
+
+    ref = _fetch_frames(demod_frames_flat(
+        params, POES_TIP.framer, plan, B, float(fs), 4096, False,
+        jnp.asarray(r16), jnp.asarray(i16), jnp.asarray(t_ext), 17.58,
+        jnp.asarray(bounds, np.float32)))
+    assert len(ref) > 20
+    for n_slices in (2, 4):
+        pipe = demod_frames_flat_pipelined(
+            params, POES_TIP.framer, plan, B, float(fs), 4096, False,
+            r16, i16, t_ext, 17.58, n_slices=n_slices)
+        assert [f.hex_line() for f in pipe] == \
+            sorted(f.hex_line() for f in sorted(ref, key=lambda f: f.time))
+
+    # fused + in-kernel time generation through the sliced path (the
+    # production E2E config), interpret mode on CPU
+    B = 256
+    reps = -(-B * plan.core // len(iq))
+    iq2 = np.tile(iq, reps)
+    r16 = np.round(np.real(iq2) * 32768.0).astype(np.int16)
+    i16 = np.round(np.imag(iq2) * 32768.0).astype(np.int16)
+    t_ext = W.time_axis(len(iq2) + 1, fs, np.float32)
+    bounds = flat_bounds(t_ext, len(iq2), plan, B)
+    one = _fetch_frames(demod_frames_flat(
+        params, POES_TIP.framer, plan, B, float(fs), 256, "fused",
+        jnp.asarray(r16), jnp.asarray(i16), jnp.asarray(t_ext), 17.58,
+        jnp.asarray(bounds, np.float32)))
+    pipe = demod_frames_flat_pipelined(
+        params, POES_TIP.framer, plan, B, float(fs), 256, "fused",
+        r16, i16, t_ext, 17.58, n_slices=2, tgen=True)
+    assert [f.hex_line() for f in pipe] == \
+        [f.hex_line() for f in sorted(one, key=lambda f: f.time)]
+
+
 def test_block_size_invariance(poes_clip):
     """Frames must not depend on the block plan (core size)."""
     iq, t, fs = poes_clip
