@@ -278,6 +278,68 @@ def run_e2e(kres):
             "e2e_transfer_est_s": max(0.0, wall - dev_s)}
 
 
+def run_argos(iters: int = 3):
+    """ARGOS-mode fused-kernel throughput (VERDICT r3 item 3): different
+    kernel geometry from POES — interp=1 (no polyphase fan-out), Gardner
+    ring sized 26 from step 40 (fused_kernel.ring_size), squelch after AGC.
+    Measured over a synthesized multi-packet recording (the repo's shipped
+    reference clip decodes 0 packets even in the C app); frames decoded
+    asserts the kernel is doing real work.  Env: PDT_BENCH_ARGOS_B,
+    PDT_BENCH_ARGOS_CORE."""
+    import jax
+    import jax.numpy as jnp
+    from project_desert_tortoise_tpu import chain as chain_lib
+    from project_desert_tortoise_tpu.parallel import blocked as BL
+    from project_desert_tortoise_tpu.utils import synth, wav as W
+    from project_desert_tortoise_tpu.utils.config import ARGOS_REALTIME
+
+    dt = np.dtype(np.float32)
+    fs = 32000.0
+    mode = ARGOS_REALTIME            # float32 (file ARGOS is double; the
+    params = chain_lib.make_params(  # fast path runs f32 either way)
+        mode, fs, quirks=False)
+    core = int(os.environ.get("PDT_BENCH_ARGOS_CORE", 225280))
+    plan = BL.BlockPlan(core=core, head=12288, tail=8192, max_frames=64)
+    B = int(os.environ.get("PDT_BENCH_ARGOS_B", 1024))
+    window = 256
+
+    iq, _ = synth.make_argos_recording(n_packets=40, fs=fs, snr_db=30.0)
+    re = np.real(iq).astype(dt)
+    im = np.imag(iq).astype(dt)
+    reps = int(np.ceil((B * plan.core + plan.total) / len(re)))
+    rr, ii = np.tile(re, reps), np.tile(im, reps)
+    tt = W.time_axis(len(rr) + 1, fs, dt)
+    brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt,
+                                           shift=params.interp > 1)
+    jre, jim, jtn = jnp.asarray(brs), jnp.asarray(bis), jnp.asarray(tn)
+    line_spacing = fs * params.interp / params.step_size  # = baud = 800
+    jfest = jax.jit(BL.coarse_carrier_est, static_argnums=(2, 3))
+    fest = jfest(jre, jim, float(fs), float(line_spacing))
+    _ = np.asarray(fest)
+
+    def call():
+        out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
+                              fest, 17.58, window, "fused")
+        return np.asarray(out[2])
+
+    nb = call()
+    assert int(nb[0]) > 100, "argos demod produced no bits"
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        call()
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+
+    out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
+                          fest, 17.58, window, "fused")
+    fb = BL.extract_frames(mode.framer, plan.max_frames, *out[:3])
+    return {"argos_msps": B * plan.core / med / 1e6,
+            "argos_step_ms": med * 1e3,
+            "argos_frames": int(np.asarray(fb.count).sum()),
+            "argos_B": B, "argos_window": window}
+
+
 def child_main():
     """Single process, single registration: probe THEN measure.
 
@@ -386,6 +448,26 @@ def child_main():
     except Exception as e:  # noqa: BLE001
         signal.alarm(0)
         line["e2e_error"] = f"{type(e).__name__}: {e}"[:120]
+
+    # ARGOS row under its own alarm (its fused kernel is a separate Mosaic
+    # compile: interp=1 geometry)
+    argos_alarm = int(min(float(os.environ.get("PDT_BENCH_ARGOS_ALARM",
+                                               "700")),
+                          deadline - time.time() - 10))
+    if argos_alarm >= 60:
+        signal.alarm(argos_alarm)
+        try:
+            ar = run_argos()
+            signal.alarm(0)
+            line.update({k: (round(v, 2) if isinstance(v, float) else v)
+                         for k, v in ar.items()})
+        except Timeout:
+            line["argos_error"] = "timeout"
+        except Exception as e:  # noqa: BLE001
+            signal.alarm(0)
+            line["argos_error"] = f"{type(e).__name__}: {e}"[:120]
+    else:
+        line["argos_error"] = "skipped (deadline)"
     _emit(line)
     return 0
 
