@@ -109,12 +109,19 @@ def run_bench(batch_blocks: int, iters: int):
     B = int(os.environ.get("PDT_BENCH_B", batch_blocks))
     # default to the best tuned TPU config (tune_results.json): the fused
     # Pallas kernel needs B % 128 == 0 or demod_blocks silently falls back
-    # to the XLA scan path.
+    # to the XLA scan path.  Round-4 champion: B=2048 (16 sublanes),
+    # window 160, body unroll 16 -> 1436 Msps; the r3 config (B=1024,
+    # window 256, U=32) stays the fallback ladder rung.  At S=16 the
+    # kernel's default U=32 exceeds the VMEM stack, so the unroll must
+    # shrink with the sublane count.
     up = os.environ.get("PDT_BENCH_PALLAS", "fused" if B % 128 == 0 else "0")
     use_pallas = {"0": False, "1": "front", "front": "front",
                   "fused": "fused"}.get(up, False)
     window = int(os.environ.get(
-        "PDT_BENCH_WINDOW", 256 if use_pallas == "fused" else 4096))
+        "PDT_BENCH_WINDOW",
+        (160 if B >= 2048 else 256) if use_pallas == "fused" else 4096))
+    unroll = int(os.environ.get("PDT_FUSED_UNROLL", "0")) or \
+        (16 if B >= 2048 else 0)
 
     rr, ii, tt, fs = _stage_inputs(plan, B, dt)
     brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
@@ -141,7 +148,7 @@ def run_bench(batch_blocks: int, iters: int):
 
     def call():
         out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                              fest, 17.58, window, use_pallas, 0,
+                              fest, 17.58, window, use_pallas, unroll,
                               seeds, jpad0)
         return np.asarray(out[2])  # fetch n_bits -> true completion
 
@@ -158,7 +165,8 @@ def run_bench(batch_blocks: int, iters: int):
 
     # sanity: frames decode from the staged real data
     out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                          fest, 17.58, window, use_pallas, 0, seeds, jpad0)
+                          fest, 17.58, window, use_pallas, unroll, seeds,
+                          jpad0)
     fb = BL.extract_frames(POES_TIP.framer, plan.max_frames, *out[:3])
     n_frames = int(np.asarray(fb.count).sum())
     dev = str(jax.devices()[0])
@@ -301,7 +309,10 @@ def run_argos(iters: int = 3):
     core = int(os.environ.get("PDT_BENCH_ARGOS_CORE", 225280))
     plan = BL.BlockPlan(core=core, head=12288, tail=8192, max_frames=64)
     B = int(os.environ.get("PDT_BENCH_ARGOS_B", 1024))
-    window = 256
+    # same sublane-dependent geometry limits as the POES kernel (VMEM)
+    window = int(os.environ.get("PDT_BENCH_ARGOS_WINDOW",
+                                160 if B >= 2048 else 256))
+    unroll = 16 if B >= 2048 else 0
 
     iq, _ = synth.make_argos_recording(n_packets=40, fs=fs, snr_db=30.0)
     re = np.real(iq).astype(dt)
@@ -319,7 +330,7 @@ def run_argos(iters: int = 3):
 
     def call():
         out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                              fest, 17.58, window, "fused")
+                              fest, 17.58, window, "fused", unroll)
         return np.asarray(out[2])
 
     nb = call()
@@ -332,7 +343,7 @@ def run_argos(iters: int = 3):
     med = float(np.median(times))
 
     out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                          fest, 17.58, window, "fused")
+                          fest, 17.58, window, "fused", unroll)
     fb = BL.extract_frames(mode.framer, plan.max_frames, *out[:3])
     return {"argos_msps": B * plan.core / med / 1e6,
             "argos_step_ms": med * 1e3,
@@ -387,7 +398,8 @@ def child_main():
     result = None
     # B = 1024 = 8 sublanes x 128 lanes: the fused kernel batches 8
     # lane-groups into full (8, 128) vregs (tune_results.json)
-    for B, iters, budget in [(1024, 5, 1400), (128, 5, 420), (64, 3, 300)]:
+    for B, iters, budget in [(2048, 5, 1400), (1024, 5, 500),
+                             (128, 3, 300)]:
         budget = int(min(budget, deadline - time.time() - 60))
         if budget < 120:
             break
