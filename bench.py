@@ -201,8 +201,8 @@ def run_e2e(kres):
     rr, ii, tt, fs = kres["staged"]
     n = B * plan.core
     need = n + plan.tail
-    n_slices = int(os.environ.get("PDT_BENCH_E2E_SLICES", "4"))
-    n_pass = int(os.environ.get("PDT_BENCH_E2E_PASSES", "3"))
+    n_slices = max(1, int(os.environ.get("PDT_BENCH_E2E_SLICES", "4")))
+    n_pass = max(1, int(os.environ.get("PDT_BENCH_E2E_PASSES", "3")))
     while B % n_slices:
         n_slices -= 1
     Bs = B // n_slices
@@ -227,34 +227,19 @@ def run_e2e(kres):
     walls = [pass_once()[1] for _ in range(n_pass)]
     wall = float(np.median(walls))
 
-    # device-only rate: same sliced executable, slices pre-staged on device
-    core, head, total = plan.core, plan.head, plan.total
-    span = (Bs - 1) * core + total
-    zlead = np.zeros(head, np.int16)
-    rrl = np.concatenate([zlead, r16])
-    iil = np.concatenate([zlead, i16])
-    off = 1 if params.interp > 1 else 0
-    t_stage = np.concatenate([np.zeros(head, dt), t_ext[off:].astype(dt)])
-    bounds_g = BL.flat_bounds(t_ext, need, plan, B)
-    lo = np.arange(B) * core - head
-    pad0_g = np.maximum(-lo, 0)
-    seeds_g = t_ext[np.clip(lo + off + pad0_g, 0, len(t_ext) - 1)].astype(dt)
-
-    def cut_np(a, s0):
-        seg = a[s0:s0 + span]
-        return seg if len(seg) == span else np.concatenate(
-            [seg, np.zeros(span - len(seg), a.dtype)])
-
+    # device-only rate: same sliced executable, slices pre-staged on
+    # device via the SAME host stager the wall path uses
+    _, slice_np = BL.stage_flat_slices(params, plan, B, n_slices,
+                                       r16, i16, t_ext, tgen)
     staged = []
     for k in range(n_slices):
-        s0 = k * Bs * core
+        re_k, im_k, te_k, seeds_k, pad0_k, bounds_k = slice_np(k)
         staged.append((
-            jnp.asarray(cut_np(rrl, s0)), jnp.asarray(cut_np(iil, s0)),
-            None if tgen else jnp.asarray(cut_np(t_stage, s0)),
-            jnp.asarray(seeds_g[k * Bs:(k + 1) * Bs]) if tgen else None,
-            jnp.asarray(pad0_g[k * Bs:(k + 1) * Bs].astype(dt))
-            if tgen else None,
-            jnp.asarray(bounds_g[k * Bs:(k + 1) * Bs], dt)))
+            jnp.asarray(re_k), jnp.asarray(im_k),
+            None if te_k is None else jnp.asarray(te_k),
+            None if seeds_k is None else jnp.asarray(seeds_k),
+            None if pad0_k is None else jnp.asarray(pad0_k),
+            jnp.asarray(bounds_k)))
     for s in staged:                # force the uploads before timing
         _ = np.asarray(s[0][:1])
         _ = np.asarray(s[1][:1])

@@ -50,6 +50,10 @@ def run(argv=None, default_mode="poes_tip_realtime", prefix="minorFrames"):
     writer = O.FrameWriter(out_path, inverted_mark=mode.framer.inverted_mark)
 
     if args.fast:
+        if args.chunk_size:
+            print("note: -c has no effect with --fast (the block-parallel "
+                  "path consumes in fixed granules; block size is the "
+                  "BlockPlan's)", file=sys.stderr)
         sd = FastStreamingDemodulator(mode, fs,
                                       norm_factor=args.norm_factor or None,
                                       on_frame=writer.write)

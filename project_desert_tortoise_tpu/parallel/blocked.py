@@ -417,9 +417,45 @@ def demod_frames_flat_pipelined(params: chain_lib.ChainParams, framer_cfg,
     per-block time seeds instead of the time plane.  Frame-identical to
     one-shot ``demod_frames_flat`` over the same planes (test_blocked).
     """
+    Bs, slice_np = stage_flat_slices(params, plan, B, n_slices,
+                                     re16, im16, t_ext, tgen)
+    frames: List[Frame] = []
+    pending = None
+    for k in range(n_slices):
+        re_k, im_k, te_k, seeds_k, pad0_k, bounds_k = slice_np(k)
+        out = demod_frames_flat(
+            params, framer_cfg, plan, Bs, fs, window, use_pallas,
+            jnp.asarray(re_k), jnp.asarray(im_k),
+            None if te_k is None else jnp.asarray(te_k), norm_gain,
+            jnp.asarray(bounds_k),
+            t_seed=None if seeds_k is None else jnp.asarray(seeds_k),
+            t_pad0=None if pad0_k is None else jnp.asarray(pad0_k),
+            pre_staged=True)
+        # fetch slice k-1 only after dispatching slice k (upload/compute
+        # overlap, the demodulate_blocked pattern)
+        if pending is not None:
+            frames.extend(_fetch_frames(pending))
+        pending = out
+    frames.extend(_fetch_frames(pending))
+    frames.sort(key=lambda f: f.time)
+    return frames
+
+
+def stage_flat_slices(params, plan: BlockPlan, B: int, n_slices: int,
+                      re16, im16, t_ext, tgen: bool):
+    """Host staging shared by the pipelined wall path and the bench's
+    device-only variant: every slice ships the identical
+    [head | Bs*core + tail] layout for ``demod_frames_flat(pre_staged=
+    True)``, so one compiled executable serves all slices.
+
+    Returns (Bs, slice_np) where ``slice_np(k)`` yields numpy arrays
+    ``(re, im, t_stage | None, seeds | None, pad0 | None, bounds)`` for
+    slice k.  Keeping the cut per-slice (not precomputed) lets the caller
+    overlap slice k's host cut + upload with slice k-1's device demod.
+    """
     dt = np.float32
     core, head, total = plan.core, plan.head, plan.total
-    if B % n_slices != 0:
+    if n_slices < 1 or B % n_slices != 0:
         raise ValueError(f"B={B} must divide into n_slices={n_slices}")
     Bs = B // n_slices
     span = (Bs - 1) * core + total
@@ -443,29 +479,16 @@ def demod_frames_flat_pipelined(params: chain_lib.ChainParams, framer_cfg,
             seg = np.concatenate([seg, np.zeros(span - len(seg), a.dtype)])
         return seg
 
-    frames: List[Frame] = []
-    pending = None
-    for k in range(n_slices):
+    def slice_np(k):
         s0 = k * Bs * core
-        jre = jnp.asarray(cut_np(rr, s0))
-        jim = jnp.asarray(cut_np(ii, s0))
-        jte = None if tgen else jnp.asarray(cut_np(t_stage, s0))
-        seeds = jnp.asarray(seeds_g[k * Bs:(k + 1) * Bs]) if tgen else None
-        pad0 = jnp.asarray(pad0_g[k * Bs:(k + 1) * Bs].astype(dt)) \
-            if tgen else None
-        out = demod_frames_flat(
-            params, framer_cfg, plan, Bs, fs, window, use_pallas,
-            jre, jim, jte, norm_gain,
-            jnp.asarray(bounds_g[k * Bs:(k + 1) * Bs], dt),
-            t_seed=seeds, t_pad0=pad0, pre_staged=True)
-        # fetch slice k-1 only after dispatching slice k (upload/compute
-        # overlap, the demodulate_blocked pattern)
-        if pending is not None:
-            frames.extend(_fetch_frames(pending))
-        pending = out
-    frames.extend(_fetch_frames(pending))
-    frames.sort(key=lambda f: f.time)
-    return frames
+        sl = slice(k * Bs, (k + 1) * Bs)
+        return (cut_np(rr, s0), cut_np(ii, s0),
+                None if tgen else cut_np(t_stage, s0),
+                seeds_g[sl] if tgen else None,
+                pad0_g[sl].astype(dt) if tgen else None,
+                np.asarray(bounds_g[sl], dt))
+
+    return Bs, slice_np
 
 
 def flat_bounds(t_ext: np.ndarray, n: int, plan: BlockPlan, B: int):

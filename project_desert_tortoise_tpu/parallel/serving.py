@@ -183,10 +183,26 @@ class ChannelBank:
         with self._lock:
             if self.norm is None:
                 # hold blocks queued until the norm probe has run (push()
-                # probes the first channel to fill a chunk; drain() probes
-                # whatever channel 0 has at EOS) — dispatching early would
-                # demodulate the first blocks with gain 1.0 and later ones
-                # with the probed gain, breaking demodulate_many parity
+                # probes channel 0's first chunk, the demodulate_many
+                # parity contract; drain() probes at EOS) — dispatching
+                # early would demodulate the first blocks with gain 1.0
+                # and later ones with the probed gain.  Backstop: if
+                # channel 0 stays silent (dead antenna) while another
+                # channel has banked several blocks of samples, probe from
+                # the first full channel instead of growing history
+                # without bound — the deviation only engages when the
+                # parity-pinned probe source demonstrably isn't coming.
+                backlog = max((len(c.re) for c in self.channels),
+                              default=0)
+                if backlog > self.plan.total + 8 * self.plan.core:
+                    for c in self.channels:
+                        if c.count >= self.cfg.chunk_size:
+                            iq = c.re[:self.cfg.chunk_size] + \
+                                1j * c.im[:self.cfg.chunk_size]
+                            self.norm = agc_ops.static_gain(
+                                iq, self.cfg.static_gain_level, self.dt)
+                            break
+            if self.norm is None:
                 work = []
             else:
                 work = [(ci, b) for ci, c in enumerate(self.channels)

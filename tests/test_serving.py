@@ -116,6 +116,25 @@ def test_serving_holds_dispatch_until_norm_probe(recordings, offline_frames):
         assert _lines(bank.frames[c]) == _lines(offline_frames[c])
 
 
+def test_serving_norm_backstop_on_dead_channel_zero(recordings):
+    """A permanently silent channel 0 must not stall the bank forever:
+    once another channel banks several blocks, the norm probe falls back
+    to the first full channel and dispatch resumes (bounded memory)."""
+    C = 2
+    bank = ChannelBank(POES_TIP, 50000.0, C, plan=PLAN, batch_blocks=16)
+    n = recordings.shape[1]
+    for _ in range(3):                   # channel 1 only; channel 0 dead
+        for lo in range(0, n, 40000):    # 3x the recording to exceed the
+            bank.push(1, np.real(recordings[1, lo:lo + 40000]),  # backstop
+                      np.imag(recordings[1, lo:lo + 40000]))
+            bank.pump()
+    bank.pump()
+    assert bank.norm is not None         # backstop probed from channel 1
+    assert bank.frames[1]                # frames flowed without drain()
+    c1 = bank.channels[1]
+    assert len(c1.re) <= PLAN.total + 10 * PLAN.core  # history bounded
+
+
 def test_demod_serve_cli(recordings, offline_frames, tmp_path):
     """demod_serve CLI: N wavs in, per-channel frame files out, same frames
     as the offline fast path."""

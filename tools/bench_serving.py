@@ -57,10 +57,12 @@ def measure_serving(mode_cfg, fs: float, n_channels: int,
     from project_desert_tortoise_tpu.utils import synth
 
     plan = plan or BL.default_plan(mode_cfg, fs)
-    iq, _ = synth.make_poes_recording(
-        n_frames=24, fs=fs, snr_db=28.0,
-        rng=np.random.default_rng(seed)) if mode_cfg.name.startswith("poes") \
-        else synth.make_argos_recording(fs=fs)[0:1][0]
+    if mode_cfg.name.startswith("poes"):
+        iq, _ = synth.make_poes_recording(n_frames=24, fs=fs, snr_db=28.0,
+                                          rng=np.random.default_rng(seed))
+    else:
+        iq, _ = synth.make_argos_recording(n_packets=24, fs=fs,
+                                           snr_db=28.0)
     re0 = np.ascontiguousarray(np.real(iq), np.float32)
     im0 = np.ascontiguousarray(np.imag(iq), np.float32)
     nrec = len(re0)
@@ -117,7 +119,11 @@ def measure_serving(mode_cfg, fs: float, n_channels: int,
         time.sleep(pump_period_s / 10)
     stop.set()
     prod.join(timeout=5)
-    blocks += bank.pump()
+    while True:                    # flush remaining ready blocks AND the
+        n = bank.pump()            # double-buffered pending batch (a
+        blocks += n                # no-work pump collects it) so the
+        if n == 0:                 # metrics see every emitted frame
+            break
     wall = time.perf_counter() - t_start
 
     # backlog: how far the slowest channel's emitted blocks trail production
