@@ -51,24 +51,38 @@ def lane_scaling():
     re0 = np.real(iq).astype(dt)
     im0 = np.imag(iq).astype(dt)
     rows = []
-    for B in [128, 256, 512, 1024]:
-        # window 256 everywhere: the headline config's window, and the only
-        # one that fits VMEM at S=8 (B=1024)
-        window = 256
+    for B in [128, 256, 512, 1024, 2048]:
+        # window follows the sublane count (VMEM): 256 up to S=8, the
+        # round-4 champion 160 with unroll 16 at S=16 (tune_results.json)
+        window = 160 if B >= 2048 else 256
+        unroll = 16 if B >= 2048 else 0
         try:
             reps = int(np.ceil((B * plan.core + plan.total) / len(re0)))
             rr, ii = np.tile(re0, reps), np.tile(im0, reps)
             tt = W.time_axis(len(rr) + 1, fs, dt)
             brs, bis, tn, _ = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
-            jre, jim, jtn = (jnp.asarray(brs), jnp.asarray(bis),
-                             jnp.asarray(tn))
+            jre, jim = jnp.asarray(brs), jnp.asarray(bis)
             fest = BL.coarse_carrier_est(jre, jim, float(fs), 8320.0)
             _ = np.asarray(fest)
+            # in-kernel time generation on the fused path (as bench.py):
+            # at S=16 the staged time plane is the third input plane that
+            # busts VMEM (tune_results round-4 notes)
+            tgen = use_pallas == "fused" and B % 128 == 0
+            if tgen:
+                lo = np.arange(B) * plan.core - plan.head
+                pad0 = np.maximum(-lo, 0)
+                seeds = jnp.asarray(tt[np.clip(lo + 1 + pad0, 0,
+                                               len(tt) - 1)].astype(dt))
+                jpad0 = jnp.asarray(pad0.astype(dt))
+                jtn = None
+            else:
+                seeds = jpad0 = None
+                jtn = jnp.asarray(tn)
 
             def call():
                 out = BL.demod_blocks(params, plan.total, jre, jim,
                                       float(fs), jtn, fest, 17.58, window,
-                                      use_pallas)
+                                      use_pallas, unroll, seeds, jpad0)
                 return np.asarray(out[2])
             call()
             ts = []
@@ -249,7 +263,7 @@ def main():
     print(json.dumps(summary), flush=True)
 
     out_path = os.environ.get("PDT_SCALING_OUT",
-                              os.path.join(REPO, "SCALING_r03.json"))
+                              os.path.join(REPO, "SCALING_r04.json"))
     existing = []
     if os.path.exists(out_path):
         try:
@@ -270,7 +284,7 @@ if __name__ == "__main__":
     if a.lanes:
         rows = lane_scaling()
         out_path = os.environ.get("PDT_SCALING_OUT",
-                                  os.path.join(REPO, "SCALING_r03.json"))
+                                  os.path.join(REPO, "SCALING_r04.json"))
         existing = []
         if os.path.exists(out_path):
             try:
