@@ -116,6 +116,37 @@ def test_serving_holds_dispatch_until_norm_probe(recordings, offline_frames):
         assert _lines(bank.frames[c]) == _lines(offline_frames[c])
 
 
+def test_serving_fused_kernel_parity(recordings, offline_frames):
+    """ChannelBank composes with the fused Pallas kernel: padded
+    constant-shape batches make bn % 128 == 0 hold, so use_pallas='fused'
+    engages the kernel (interpret mode on CPU) and the frames match the
+    default path."""
+    from project_desert_tortoise_tpu.ops.pallas import fused_kernel as FK
+    C, n = recordings.shape
+    calls = []
+    real = FK.fused_demod_pallas
+    orig = FK.fused_demod_pallas
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    FK.fused_demod_pallas = spy
+    try:
+        bank = ChannelBank(POES_TIP, 50000.0, C, plan=PLAN,
+                           batch_blocks=128, window=256, use_pallas="fused")
+        for c in range(C):
+            bank.push(c, np.real(recordings[c]), np.imag(recordings[c]))
+        bank.pump()
+        bank.drain()
+    finally:
+        FK.fused_demod_pallas = orig
+    assert calls, "fused kernel was not engaged by the serving path"
+    for c in range(C):
+        mine = {l for l in _lines(bank.frames[c])}
+        assert mine >= set(_lines(offline_frames[c]))
+
+
 def test_serving_norm_backstop_on_dead_channel_zero(recordings):
     """A permanently silent channel 0 must not stall the bank forever:
     once another channel banks several blocks, the norm probe falls back
