@@ -209,6 +209,31 @@ def test_serving_latency_measurement():
         (PLAN.core + PLAN.tail) / 50000.0, abs=1e-3)
 
 
+def test_serving_argos_mode(recordings):
+    """ChannelBank in the ARGOS_REALTIME config (interp=1, after-AGC
+    squelch, 9-byte packets): streaming frames match the offline fast path
+    over the same recording — the mode demod_realtime --fast (ARGOS twin)
+    rides."""
+    from project_desert_tortoise_tpu.parallel.blocked import demodulate_many
+    from project_desert_tortoise_tpu.utils.config import ARGOS_REALTIME
+    fs = 32000.0
+    iq, payloads = synth.make_argos_recording(n_packets=8, fs=fs,
+                                              snr_db=30.0)
+    plan = BlockPlan(core=16384, head=12288, tail=8192, max_frames=8)
+    t = W.time_axis(len(iq), fs, np.float32)
+    offline = demodulate_many(iq[None, :], t, fs, ARGOS_REALTIME, plan=plan,
+                              batch_blocks=8)
+    bank = ChannelBank(ARGOS_REALTIME, fs, 1, plan=plan, batch_blocks=8)
+    for lo in range(0, len(iq), 30000):
+        bank.push(0, np.real(iq[lo:lo + 30000]), np.imag(iq[lo:lo + 30000]))
+        bank.pump()
+    bank.drain()
+    assert _lines(bank.frames[0]) == _lines(offline[0])
+    sent = {" ".join(f"{b:02X}" for b in p) for p in payloads}
+    got = {l.split(" ", 1)[1].strip() for l in _lines(bank.frames[0])}
+    assert len(got & sent) >= len(payloads) - 2
+
+
 def test_serving_on_frame_callback(recordings):
     got = []
     bank = ChannelBank(POES_TIP, 50000.0, 1, plan=PLAN, batch_blocks=16,
