@@ -28,7 +28,17 @@ def run(argv=None):
     p.add_argument("--chunk", type=int, default=25000,
                    help="producer chunk size (samples)")
     p.add_argument("--batch-blocks", type=int, default=64)
+    p.add_argument("--use-pallas", default="0", choices=["0", "front",
+                                                         "fused"],
+                   help="device demod path: XLA scans (default), the "
+                        "front Pallas kernel, or the fully fused kernel "
+                        "(needs --batch-blocks a multiple of 128; batches "
+                        "are padded to that shape)")
     args = p.parse_args(argv)
+    use_pallas = {"0": False, "front": "front",
+                  "fused": "fused"}[args.use_pallas]
+    if use_pallas == "fused" and args.batch_blocks % 128 != 0:
+        p.error("--use-pallas fused needs --batch-blocks % 128 == 0")
 
     import numpy as np
     from project_desert_tortoise_tpu.models.registry import get_mode
@@ -63,6 +73,8 @@ def run(argv=None):
 
     bank = ChannelBank(mode, fs, len(recs),
                        batch_blocks=args.batch_blocks,
+                       window=256 if use_pallas == "fused" else 4096,
+                       use_pallas=use_pallas,
                        on_frame=lambda ci, fr: writers[ci].write(fr))
 
     def producer(ci, iq):
