@@ -76,6 +76,13 @@ class ChannelBank:
         # count — a multi-second latency spike per new batch size otherwise
         self.pad_batches = pad_batches
         self.window = window
+        # fused path: regenerate the accumulated time axis in-kernel from
+        # per-block seeds instead of staging a (bn, total) f32 time plane —
+        # one third off the host staging bytes/copies (same bit-exact
+        # reconstruction as the flat E2E path, fused_kernel time-gen docs);
+        # requires the padded batches that already guarantee bn % 128 == 0
+        self.tgen = (use_pallas == "fused" and pad_batches
+                     and batch_blocks % 128 == 0)
         self.use_pallas = use_pallas
         self.on_frame = on_frame
         self.norm = norm_factor
@@ -146,7 +153,11 @@ class ChannelBank:
         P = self.plan
         brs = np.zeros((bn, P.total), self.dt)
         bis = np.zeros((bn, P.total), self.dt)
-        tns = np.zeros((bn, P.total), self.dt)
+        # time-generation mode replaces the (bn, total) time plane with
+        # per-block (seed, pad0) pairs; silent pad rows keep seed 0/pad 0
+        tns = None if self.tgen else np.zeros((bn, P.total), self.dt)
+        seeds = np.zeros(bn, self.dt) if self.tgen else None
+        pad0 = np.zeros(bn, self.dt) if self.tgen else None
         bounds = np.full((bn, 2), np.inf)
         chan = np.zeros(bn, np.int32)
         for k, (ci, b) in enumerate(items):
@@ -162,14 +173,18 @@ class ChannelBank:
             off = 1 if self._shift else 0
             # t_ext[i (+1)] = time of sample base+i (+1); one extra entry
             # always exists
-            tns[k, d0:d0 + m] = c.t_ext[src_lo + off:src_hi + off]
+            if self.tgen:
+                seeds[k] = c.t_ext[src_lo + off]
+                pad0[k] = d0
+            else:
+                tns[k, d0:d0 + m] = c.t_ext[src_lo + off:src_hi + off]
             cs = b * P.core - c.base
             ce = min(cs + P.core, c.count - c.base)
             bounds[k, 0] = c.t_ext[cs]
             bounds[k, 1] = c.t_ext[ce] if ce < len(c.t_ext) else \
                 c.t_ext[-1] + self._ts
             chan[k] = ci
-        return brs, bis, tns, bounds, chan
+        return brs, bis, (tns, seeds, pad0), bounds, chan
 
     def pump(self) -> int:
         """Stage + demodulate every ready block (in batch_blocks batches).
@@ -226,16 +241,19 @@ class ChannelBank:
             self._pending = None
         return len(work)
 
-    def _dispatch(self, brs, bis, tns, bounds, chan):
+    def _dispatch(self, brs, bis, tplanes, bounds, chan):
         """Stage to device + launch demod; returns un-fetched outputs."""
+        tns, seeds, pad0 = tplanes
         bn = len(chan)
         jre, jim = jnp.asarray(brs), jnp.asarray(bis)
         fest = BL.coarse_carrier_est(jre, jim, self.fs,
                                      self.cfg.gardner.baud / 2.0)
         bits_c, times_c, n_bits, _ = BL.demod_blocks(
             self.params, self.plan.total, jre, jim, self.fs,
-            jnp.asarray(tns), fest, float(self.norm),
-            self.window, self.use_pallas)
+            None if self.tgen else jnp.asarray(tns), fest, float(self.norm),
+            self.window, self.use_pallas, 0,
+            jnp.asarray(seeds) if self.tgen else None,
+            jnp.asarray(pad0) if self.tgen else None)
         return BL.extract_stitch_chan(
             self.cfg.framer, self.plan.max_frames,
             bn * self.plan.max_frames, bits_c, times_c, n_bits,

@@ -142,9 +142,23 @@ def test_serving_fused_kernel_parity(recordings, offline_frames):
     finally:
         FK.fused_demod_pallas = orig
     assert calls, "fused kernel was not engaged by the serving path"
+    assert bank.tgen   # batch 128 + padding -> in-kernel time generation
     for c in range(C):
         mine = {l for l in _lines(bank.frames[c])}
         assert mine >= set(_lines(offline_frames[c]))
+
+    # the staged-time-plane fused bank must produce IDENTICAL frames —
+    # the in-kernel accumulated-axis regeneration is bit-exact
+    bank2 = ChannelBank(POES_TIP, 50000.0, C, plan=PLAN,
+                        batch_blocks=128, window=256, use_pallas="fused",
+                        pad_batches=True)
+    bank2.tgen = False
+    for c in range(C):
+        bank2.push(c, np.real(recordings[c]), np.imag(recordings[c]))
+    bank2.pump()
+    bank2.drain()
+    for c in range(C):
+        assert _lines(bank.frames[c]) == _lines(bank2.frames[c])
 
 
 def test_serving_norm_backstop_on_dead_channel_zero(recordings):
