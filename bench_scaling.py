@@ -71,7 +71,10 @@ def lane_scaling():
             if tgen:
                 lo = np.arange(B) * plan.core - plan.head
                 pad0 = np.maximum(-lo, 0)
-                seeds = jnp.asarray(tt[np.clip(lo + 1 + pad0, 0,
+                # t[i+1] seed only for interpolating modes (as bench.py /
+                # stage_flat_slices); interp==1 modes seed at t[i]
+                off = 1 if params.interp > 1 else 0
+                seeds = jnp.asarray(tt[np.clip(lo + off + pad0, 0,
                                                len(tt) - 1)].astype(dt))
                 jpad0 = jnp.asarray(pad0.astype(dt))
                 jtn = None

@@ -310,12 +310,12 @@ def demod_frames(params: chain_lib.ChainParams, total: int, framer_cfg,
     return framer_ops.stitch_frames(fb, bounds, B * max_frames)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 14))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 14, 15))
 def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
                       plan: BlockPlan, B: int, fs: float, window: int,
                       use_pallas, re_flat, im_flat, t_ext, norm_gain,
                       bounds, t_seed=None, t_pad0=None,
-                      pre_staged: bool = False):
+                      pre_staged: bool = False, pack_bits: int = 0):
     """Whole-file demod from CONTIGUOUS device arrays — one upload, one
     dispatch, one frame fetch.
 
@@ -338,10 +338,20 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
     zeros for the stream start) and t_ext is the already-offset, already-
     zero-leaded per-sample stage time array aligned with them — no device-
     side zero lead or t[i+1] shift is applied.
+
+    pack_bits > 0: re_flat/im_flat are (ng, pack_bits) uint32 bit-packed
+    PCM planes (ops/bitpack.py) covering ng*32 samples — unpacked on
+    device with static shift/masks, then converted exactly like int16
+    (frame-identical: the reconstructed int16 values are bit-identical).
     """
     dt = jnp.float32
-    if re_flat.dtype == jnp.int16:
-        scale = jnp.asarray(1.0 / 32768.0, dt)
+    scale = jnp.asarray(1.0 / 32768.0, dt)
+    if pack_bits:
+        from project_desert_tortoise_tpu.ops import bitpack
+        ns = re_flat.shape[0] * bitpack.GROUP
+        re_flat = bitpack.unpack_jax(re_flat, pack_bits, ns).astype(dt) * scale
+        im_flat = bitpack.unpack_jax(im_flat, pack_bits, ns).astype(dt) * scale
+    elif re_flat.dtype == jnp.int16:
         re_flat = re_flat.astype(dt) * scale
         im_flat = im_flat.astype(dt) * scale
     n = re_flat.shape[0]
@@ -397,7 +407,8 @@ def demod_frames_flat_pipelined(params: chain_lib.ChainParams, framer_cfg,
                                 plan: BlockPlan, B: int, fs: float,
                                 window: int, use_pallas, re16, im16,
                                 t_ext, norm_gain, n_slices: int = 4,
-                                tgen: bool = False) -> List[Frame]:
+                                tgen: bool = False,
+                                pack: int = 0) -> List[Frame]:
     """Sliced, transfer/compute-overlapped whole-file demod (VERDICT r3
     item 1a): the flat sample planes are cut into ``n_slices`` contiguous
     slices of B/n_slices blocks each and dispatched in sequence, so the
@@ -414,11 +425,15 @@ def demod_frames_flat_pipelined(params: chain_lib.ChainParams, framer_cfg,
 
     re16/im16: (n,) int16 (or float32) host planes; t_ext: (n+1,)
     accumulated stage time axis.  tgen=True (fused path only) uploads
-    per-block time seeds instead of the time plane.  Frame-identical to
-    one-shot ``demod_frames_flat`` over the same planes (test_blocked).
+    per-block time seeds instead of the time plane.  pack: -1 = choose the
+    minimal lossless bit width from the data (int16 planes only; stays
+    unpacked when 16 bits are genuinely needed), w>0 = pack to w bits —
+    cuts the tunnel-bound upload by 16/w more (VERDICT r4 item 1).
+    Frame-identical to one-shot ``demod_frames_flat`` over the same planes
+    (test_blocked).
     """
-    Bs, slice_np = stage_flat_slices(params, plan, B, n_slices,
-                                     re16, im16, t_ext, tgen)
+    Bs, slice_np, pack = stage_flat_slices(params, plan, B, n_slices,
+                                           re16, im16, t_ext, tgen, pack)
     frames: List[Frame] = []
     pending = None
     for k in range(n_slices):
@@ -430,7 +445,7 @@ def demod_frames_flat_pipelined(params: chain_lib.ChainParams, framer_cfg,
             jnp.asarray(bounds_k),
             t_seed=None if seeds_k is None else jnp.asarray(seeds_k),
             t_pad0=None if pad0_k is None else jnp.asarray(pad0_k),
-            pre_staged=True)
+            pre_staged=True, pack_bits=pack)
         # fetch slice k-1 only after dispatching slice k (upload/compute
         # overlap, the demodulate_blocked pattern)
         if pending is not None:
@@ -442,23 +457,34 @@ def demod_frames_flat_pipelined(params: chain_lib.ChainParams, framer_cfg,
 
 
 def stage_flat_slices(params, plan: BlockPlan, B: int, n_slices: int,
-                      re16, im16, t_ext, tgen: bool):
+                      re16, im16, t_ext, tgen: bool, pack: int = 0):
     """Host staging shared by the pipelined wall path and the bench's
     device-only variant: every slice ships the identical
     [head | Bs*core + tail] layout for ``demod_frames_flat(pre_staged=
     True)``, so one compiled executable serves all slices.
 
-    Returns (Bs, slice_np) where ``slice_np(k)`` yields numpy arrays
-    ``(re, im, t_stage | None, seeds | None, pad0 | None, bounds)`` for
-    slice k.  Keeping the cut per-slice (not precomputed) lets the caller
-    overlap slice k's host cut + upload with slice k-1's device demod.
+    Returns (Bs, slice_np, pack_bits) where ``slice_np(k)`` yields numpy
+    arrays ``(re, im, t_stage | None, seeds | None, pad0 | None, bounds)``
+    for slice k.  Keeping the cut per-slice (not precomputed) lets the
+    caller overlap slice k's host cut + upload with slice k-1's device
+    demod.  pack: 0 = ship int16, -1 = minimal lossless width from the
+    data, w>0 = that width; the returned pack_bits (0 when packing is off
+    or useless) is what ``demod_frames_flat`` must be called with.
     """
+    from project_desert_tortoise_tpu.ops import bitpack
+
     dt = np.float32
     core, head, total = plan.core, plan.head, plan.total
     if n_slices < 1 or B % n_slices != 0:
         raise ValueError(f"B={B} must divide into n_slices={n_slices}")
     Bs = B // n_slices
     span = (Bs - 1) * core + total
+    if pack and np.dtype(re16.dtype).kind != "i":
+        pack = 0                      # packing is for PCM integer planes
+    if pack == -1:
+        pack = bitpack.pack_width(re16, im16)
+    if pack >= 16:
+        pack = 0                      # full-width data: ship int16 as-is
     zlead = np.zeros(head, re16.dtype)
     rr = np.concatenate([zlead, re16])
     ii = np.concatenate([zlead, im16])
@@ -482,13 +508,17 @@ def stage_flat_slices(params, plan: BlockPlan, B: int, n_slices: int,
     def slice_np(k):
         s0 = k * Bs * core
         sl = slice(k * Bs, (k + 1) * Bs)
-        return (cut_np(rr, s0), cut_np(ii, s0),
+        re_k, im_k = cut_np(rr, s0), cut_np(ii, s0)
+        if pack:
+            re_k = bitpack.pack(re_k, pack)
+            im_k = bitpack.pack(im_k, pack)
+        return (re_k, im_k,
                 None if tgen else cut_np(t_stage, s0),
                 seeds_g[sl] if tgen else None,
                 pad0_g[sl].astype(dt) if tgen else None,
                 np.asarray(bounds_g[sl], dt))
 
-    return Bs, slice_np
+    return Bs, slice_np, pack
 
 
 def flat_bounds(t_ext: np.ndarray, n: int, plan: BlockPlan, B: int):

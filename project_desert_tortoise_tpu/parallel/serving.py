@@ -81,8 +81,13 @@ class ChannelBank:
         # one third off the host staging bytes/copies (same bit-exact
         # reconstruction as the flat E2E path, fused_kernel time-gen docs);
         # requires the padded batches that already guarantee bn % 128 == 0
+        # AND a window that divides plan.total (demod_blocks silently falls
+        # back to window=0 — i.e. off the fused path — for unaligned plans,
+        # where t_next=None would then raise at pump time; keep the staged
+        # time plane for such plans instead)
         self.tgen = (use_pallas == "fused" and pad_batches
-                     and batch_blocks % 128 == 0)
+                     and batch_blocks % 128 == 0
+                     and window and self.plan.total % window == 0)
         self.use_pallas = use_pallas
         self.on_frame = on_frame
         self.norm = norm_factor

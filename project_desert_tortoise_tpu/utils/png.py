@@ -218,10 +218,13 @@ def render_series_png(path: str,
         if markers or len(pts) == 1:
             for a, b in pts:
                 cv.dot(a, b, color)
-        # legend row (swatch + name) and a direct label at the last point
+        # legend row (swatch + name) and a direct label at the last point;
+        # rows beyond the plot height are dropped (the direct point label
+        # still identifies the series) instead of silently clipping
         ly = mt + 4 + i * 14
-        cv.img[ly:ly + 8, w - mr + 8:w - mr + 16] = color
-        cv.text(w - mr + 20, ly, name[:14])
+        if ly + 8 <= h - mb:
+            cv.img[ly:ly + 8, w - mr + 8:w - mr + 16] = color
+            cv.text(w - mr + 20, ly, name[:14])
         if pts:
             cv.text(min(pts[-1][0] + 6, w - cv.text_w(name[:8]) - 2),
                     max(pts[-1][1] - 8, 0), name[:8], color)
