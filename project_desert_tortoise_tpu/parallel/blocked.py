@@ -93,6 +93,10 @@ def coarse_carrier_est(zre, zim, fs: float, line_spacing_hz: float = 8320.0,
     Welch-averaged over all length-nfft segments of the block, so partial
     signal occupancy (pass start/end) is fine.  Returns Hz.
     """
+    if zre.dtype == jnp.int16:      # int16-staged PCM planes (wave.c:117)
+        s = jnp.float32(1.0 / 32768.0)
+        zre = zre.astype(jnp.float32) * s
+        zim = zim.astype(jnp.float32) * s
     n = zre.shape[-1]
     k = max(n // nfft, 1)
     re = zre[..., :k * nfft].reshape(zre.shape[:-1] + (k, nfft))
@@ -156,7 +160,15 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
     PLL+FIR+AGC Pallas kernel + XLA timing recovery; "fused" = the whole
     chain in one Pallas kernel.
     Returns (bits, bit_times, n_bits, avg_phase).
+
+    blocks_re/blocks_im may be int16 PCM planes: converted on device with
+    the exact /32768 normalization of ``common/wave.c:117`` (bit-identical
+    to float staging, half the host->device bytes).
     """
+    if blocks_re.dtype == jnp.int16:
+        s = jnp.float32(1.0 / 32768.0)
+        blocks_re = blocks_re.astype(jnp.float32) * s
+        blocks_im = blocks_im.astype(jnp.float32) * s
     dt = blocks_re.dtype
     B = blocks_re.shape[0]
     interp = params.interp

@@ -37,9 +37,9 @@ from project_desert_tortoise_tpu.parallel import blocked as BL
 class _Channel:
     """Per-channel sample/time history between pumps."""
 
-    def __init__(self, dt, ts):
-        self.re = np.zeros(0, dt)
-        self.im = np.zeros(0, dt)
+    def __init__(self, dt, ts, sdt):
+        self.re = np.zeros(0, sdt)
+        self.im = np.zeros(0, sdt)
         # t_ext[i] = reference accumulated-f32 time of sample (base + i);
         # kept one entry LONGER than the sample buffers (the time a next
         # sample would get), so interpolating modes can stage t[i+1]
@@ -63,10 +63,21 @@ class ChannelBank:
                  window: int = 4096, use_pallas=False,
                  norm_factor: Optional[float] = None,
                  on_frame: Optional[Callable[[int, Frame], None]] = None,
-                 dtype=np.float32, pad_batches: bool = True):
+                 dtype=np.float32, pad_batches: bool = True,
+                 stage_dtype=None):
         self.cfg = mode_cfg
         self.fs = float(fs)
         self.dt = np.dtype(dtype)
+        # stage_dtype=np.int16: bank and stage RAW PCM planes, converting
+        # on device with the exact /32768 of wave.c:117 — halves the
+        # staged bytes per channel, which is what bounds channel capacity
+        # on host-bandwidth-limited links (VERDICT r4 item 2; the
+        # reference realtime app this displaces reads 16-bit PCM,
+        # POESTIPdemodPortAudio/main.c:324-401).  Frame-identical to
+        # float staging for PCM-sourced streams (test_serving).
+        self.sdt = np.dtype(stage_dtype or dtype)
+        if self.sdt not in (np.dtype(np.int16), self.dt):
+            raise ValueError(f"stage_dtype must be int16 or {self.dt}")
         self.params = chain_lib.make_params(mode_cfg, fs, quirks=False)
         self.plan = plan or BL.default_plan(mode_cfg, fs)
         self.batch_blocks = batch_blocks
@@ -93,7 +104,7 @@ class ChannelBank:
         self.norm = norm_factor
         self._ts = self.dt.type(1.0) / self.dt.type(fs)
         self._lock = threading.Lock()
-        self.channels = [_Channel(self.dt, self._ts)
+        self.channels = [_Channel(self.dt, self._ts, self.sdt)
                          for _ in range(n_channels)]
         self.frames: List[List[Frame]] = [[] for _ in range(n_channels)]
         self._shift = self.params.interp > 1
@@ -101,11 +112,32 @@ class ChannelBank:
 
     # ---------------- producers ----------------
 
+    def _to_stage(self, x):
+        x = np.asarray(x)
+        if x.dtype == self.sdt:
+            return x
+        if self.sdt == np.int16:
+            # exact for PCM-derived floats (x = int16/32768); quantizes
+            # anything else — push int16 directly for non-PCM sources
+            return np.clip(np.round(np.asarray(x, np.float64) * 32768.0),
+                           -32768, 32767).astype(np.int16)
+        return x.astype(self.sdt) if x.dtype != np.int16 else \
+            x.astype(self.sdt) / self.sdt.type(32768)
+
+    def _chunk_iq(self, c: _Channel, n: int):
+        """Float iq view of a channel's first n banked samples (norm probe)."""
+        re, im = c.re[:n], c.im[:n]
+        if self.sdt == np.int16:
+            s = self.dt.type(1.0) / self.dt.type(32768)
+            return re.astype(self.dt) * s + 1j * (im.astype(self.dt) * s)
+        return re + 1j * im
+
     def push(self, ch: int, re, im):
-        """Append samples to a channel (producer side)."""
+        """Append samples to a channel (producer side).  int16 input is
+        banked raw when stage_dtype=int16 (the zero-copy PCM path)."""
         c = self.channels[ch]
-        re = np.asarray(re, self.dt)
-        im = np.asarray(im, self.dt)
+        re = self._to_stage(re)
+        im = self._to_stage(im)
         n = len(re)
         if n == 0:
             return
@@ -124,10 +156,9 @@ class ChannelBank:
                 # same probe demodulate_many uses: channel 0's first chunk
                 # (the parity contract pins WHICH samples feed the probe;
                 # pump() holds dispatch until this has run)
-                iq = c.re[:self.cfg.chunk_size] + \
-                    1j * c.im[:self.cfg.chunk_size]
                 self.norm = agc_ops.static_gain(
-                    iq, self.cfg.static_gain_level, self.dt)
+                    self._chunk_iq(c, self.cfg.chunk_size),
+                    self.cfg.static_gain_level, self.dt)
 
     def end_of_stream(self, ch: int):
         self.channels[ch].ended = True
@@ -156,8 +187,8 @@ class ChannelBank:
                                    and len(items) < self.batch_blocks) \
             else len(items)
         P = self.plan
-        brs = np.zeros((bn, P.total), self.dt)
-        bis = np.zeros((bn, P.total), self.dt)
+        brs = np.zeros((bn, P.total), self.sdt)
+        bis = np.zeros((bn, P.total), self.sdt)
         # time-generation mode replaces the (bn, total) time plane with
         # per-block (seed, pad0) pairs; silent pad rows keep seed 0/pad 0
         tns = None if self.tgen else np.zeros((bn, P.total), self.dt)
@@ -217,10 +248,9 @@ class ChannelBank:
                 if backlog > self.plan.total + 8 * self.plan.core:
                     for c in self.channels:
                         if c.count >= self.cfg.chunk_size:
-                            iq = c.re[:self.cfg.chunk_size] + \
-                                1j * c.im[:self.cfg.chunk_size]
                             self.norm = agc_ops.static_gain(
-                                iq, self.cfg.static_gain_level, self.dt)
+                                self._chunk_iq(c, self.cfg.chunk_size),
+                                self.cfg.static_gain_level, self.dt)
                             break
             if self.norm is None:
                 work = []
@@ -297,7 +327,7 @@ class ChannelBank:
                 n = min(len(c.re), self.cfg.chunk_size)
                 if n:
                     self.norm = agc_ops.static_gain(
-                        c.re[:n] + 1j * c.im[:n],
+                        self._chunk_iq(c, n),
                         self.cfg.static_gain_level, self.dt)
                     break
         total = 0

@@ -167,6 +167,31 @@ def load_iq_wav(path: str, dtype=np.float32, sample_rate_override: float = 0.0):
     return iq, t, float(header.sample_rate), header
 
 
+def load_iq_wav_int16(path: str, sample_rate_override: float = 0.0):
+    """Read a 2-channel 16-bit PCM WAV as RAW int16 planes (re, im, fs,
+    header) — the native samples ``wave.c:117`` divides by 32768.
+
+    PCM-sourced pipelines (the E2E flat path, int16-staged serving) ship
+    these planes to the device and convert there, halving host->device
+    bytes with bit-identical results.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    header = read_wav_header(raw)
+    if header.channels != 2:
+        raise ValueError("complex read requires 2 channels (I and Q)")
+    if header.format_type != 1 or header.bits_per_sample != 16:
+        raise ValueError("int16 plane read requires 16-bit PCM")
+    if sample_rate_override > 1:
+        header.sample_rate = int(sample_rate_override)
+    body = raw[data_offset_of(raw, header):]
+    n = len(body) // 4
+    data = np.frombuffer(body, "<i2", count=n * 2).reshape(n, 2)
+    re = np.ascontiguousarray(data[:, 0])
+    im = np.ascontiguousarray(data[:, 1])
+    return re, im, float(header.sample_rate), header
+
+
 def load_iq_raw(path: str, sample_rate_hz: float, dtype=np.float32):
     """SDR# RAW: interleaved 32-bit IEEE float I/Q, no normalization
     (``wave.c:413-540``)."""

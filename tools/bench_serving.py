@@ -50,7 +50,8 @@ def measure_serving(mode_cfg, fs: float, n_channels: int,
                     duration_s: float = 10.0, speedup: float = 1.0,
                     plan=None, batch_blocks: int = 128,
                     window: int = 4096, use_pallas=False,
-                    pump_period_s: float = 0.05, seed: int = 0):
+                    pump_period_s: float = 0.05, seed: int = 0,
+                    stage_dtype=np.float32):
     """Run N throttled producers + one pump loop; return a metrics dict."""
     from project_desert_tortoise_tpu.parallel import blocked as BL
     from project_desert_tortoise_tpu.parallel.serving import ChannelBank
@@ -65,6 +66,13 @@ def measure_serving(mode_cfg, fs: float, n_channels: int,
                                            snr_db=28.0)
     re0 = np.ascontiguousarray(np.real(iq), np.float32)
     im0 = np.ascontiguousarray(np.imag(iq), np.float32)
+    if np.dtype(stage_dtype) == np.int16:
+        # PCM-sourced channels push raw int16 (the reference realtime
+        # app's native sample format, POESTIPdemodPortAudio/main.c:324)
+        re0 = np.clip(np.round(re0 * 32768.0), -32768, 32767) \
+            .astype(np.int16)
+        im0 = np.clip(np.round(im0 * 32768.0), -32768, 32767) \
+            .astype(np.int16)
     nrec = len(re0)
 
     lat_ms = []
@@ -79,11 +87,13 @@ def measure_serving(mode_cfg, fs: float, n_channels: int,
 
     bank = ChannelBank(mode_cfg, fs, n_channels, plan=plan,
                        batch_blocks=batch_blocks, window=window,
-                       use_pallas=use_pallas, on_frame=on_frame)
+                       use_pallas=use_pallas, on_frame=on_frame,
+                       stage_dtype=stage_dtype)
 
     # warm the compile OUTSIDE the timed window (one throwaway batch shape)
     warm = ChannelBank(mode_cfg, fs, 1, plan=plan, batch_blocks=batch_blocks,
-                       window=window, use_pallas=use_pallas)
+                       window=window, use_pallas=use_pallas,
+                       stage_dtype=stage_dtype)
     warm.push(0, re0[:plan.total + plan.core], im0[:plan.total + plan.core])
     warm.drain()
 
@@ -148,6 +158,7 @@ def measure_serving(mode_cfg, fs: float, n_channels: int,
         "backlog_samples_worst": int(behind),
         "sustained": bool(behind <= core + plan.total),
         "use_pallas": str(use_pallas), "batch_blocks": batch_blocks,
+        "stage": str(np.dtype(stage_dtype)), "core": core,
     }
 
 
@@ -161,6 +172,7 @@ def main():
     p.add_argument("--batch-blocks", type=int, default=128)
     p.add_argument("--window", type=int, default=4096)
     p.add_argument("--core", type=int, default=0)
+    p.add_argument("--stage", default="f32", choices=["f32", "int16"])
     p.add_argument("--json", default=None)
     args = p.parse_args()
 
@@ -178,7 +190,9 @@ def main():
                               duration_s=args.duration,
                               speedup=args.speedup, plan=plan,
                               batch_blocks=args.batch_blocks,
-                              window=args.window, use_pallas=up)
+                              window=args.window, use_pallas=up,
+                              stage_dtype=np.int16 if args.stage == "int16"
+                              else np.float32)
         rows.append(row)
         print(json.dumps(row), flush=True)
     if args.json:
