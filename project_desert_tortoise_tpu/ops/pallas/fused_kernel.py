@@ -49,6 +49,25 @@ def ring_size(step_size: float, err_limit: float, interp: int) -> int:
     return max(16, -(-need // 2) * 2)
 
 
+def ring_t_size(step_size: float, err_limit: float, interp: int) -> int:
+    """Time-ring depth — much shallower than the value ring (VERDICT r4
+    item 3, the ARGOS S=16 VMEM wall).
+
+    Only the VALUE ring is read at deep ages (the Gardner mid-bit sample,
+    ``step_size/2`` behind).  The time ring serves just the ON-TIME read:
+    its age is ``j_hi - round(next_sample)``, bounded by the emission
+    condition (``target <= j_hi``, and each emission advances the pointer
+    by ``step_size > interp``) to ``interp - 1`` plus the clamped timing
+    error (``err_limit``, 0.1 samples for both reference modes,
+    POESTIPdemod/main.c:111 / ARGOSdemod config).  Sizing it to
+    ``interp + ceil(err_limit) + 2`` drops ~20 dead state planes from the
+    ARGOS geometry (ring 26 -> time ring 4-6), which is what let the
+    interp==1 kernel onto the 16-sublane rung."""
+    need = interp + int(np.ceil(err_limit)) + 2
+    return min(max(4, -(-need // 2) * 2),
+               ring_size(step_size, err_limit, interp))
+
+
 def _ring_read(ring_planes, age):
     """age: (S,128) int32, 0 = newest; unrolled compare-select over the
     shift-register ring."""
@@ -59,16 +78,16 @@ def _ring_read(ring_planes, age):
 
 
 def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
-            unroll, tgen_ts, *refs):
+            ring_t, unroll, tgen_ts, *refs):
     if tgen_ts is None:
         (re_ref, im_ref, tn_ref, st_in_ref,
-         bit_ref, btime_ref, emit_ref, st_out_ref, st_scratch) = refs
+         be_ref, btime_ref, st_out_ref, st_scratch) = refs
     else:
         # time-generation mode: no staged time plane; the kernel rebuilds
         # the reference's accumulated-f32 axis from per-block seeds
         # (bit-exact: the same sequential t += Ts left fold, wave.c:167)
         (re_ref, im_ref, st_in_ref,
-         bit_ref, btime_ref, emit_ref, st_out_ref, st_scratch) = refs
+         be_ref, btime_ref, st_out_ref, st_scratch) = refs
         tn_ref = None
     (attack, decay, reference, max_gain, min_gain, squelch_thr) = agc_params
     hist_len = len(poly[0])
@@ -77,8 +96,8 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
     H0 = 6           # FIR history: hist_len
     G0 = H0 + hist_len            # AGC gain: 1
     R0 = G0 + 1                   # ring values: ring
-    T0 = R0 + ring                # ring times: ring
-    GD = T0 + ring                # gardner ns, half, prev: 3
+    T0 = R0 + ring                # ring times: ring_t (shallow, see
+    GD = T0 + ring_t              #   ring_t_size) | gardner ns, half, prev: 3
     MA = GD + 3                   # manchester clockmod, evenodd, cur, prev, prevprev: 5
 
     w = pl.program_id(0)
@@ -110,7 +129,7 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
         hist = [soft] + [s[H0 + m] for m in range(hist_len - 1)]
         gain = s[G0]
         ring_v = [s[R0 + k] for k in range(ring)]
-        ring_t = [s[T0 + k] for k in range(ring)]
+        ring_ts = [s[T0 + k] for k in range(ring_t)]
         if tgen_ts is None:
             tval_in = tn_ref[i]
             tg_tail = []
@@ -142,7 +161,7 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
                               jnp.zeros_like(y), y)
             produced.append(y)
         ring_v = produced[::-1] + ring_v[:ring - interp]
-        ring_t = [tval_in] * interp + ring_t[:ring - interp]
+        ring_ts = [tval_in] * interp + ring_ts[:ring_t - interp]
 
         # --- Gardner: emit at most one symbol this input sample ---
         ns, half_raw, prev_bit = s[GD], s[GD + 1], s[GD + 2]
@@ -150,9 +169,11 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
         target = jnp.round(ns)
         emit_sym = target <= j_hi
         tgt_i = jnp.maximum(target.astype(jnp.int32), 0)
-        age = jnp.clip(j_hi - tgt_i, 0, ring - 1)
-        cur = _ring_read(ring_v, age)
-        sym_t = _ring_read(ring_t, age)
+        # the on-time read age is bounded by interp + clamped timing error
+        # (ring_t_size); only the mid-bit value read below goes deep
+        age = jnp.clip(j_hi - tgt_i, 0, ring_t - 1)
+        cur = _ring_read(ring_v[:ring_t], age)
+        sym_t = _ring_read(ring_ts, age)
         hidx = jnp.round(half_raw).astype(jnp.int32)
         hage = j_hi - hidx
         h_in_ring = (hidx >= 0) & (hage >= 0) & (hage < ring)
@@ -185,9 +206,11 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
                         1.0 - (cur > 0).astype(dt))
         emit_bit = emit_sym & boundary
 
-        bit_ref[i] = bit
+        # merged bit+emit output plane (one less (window, S, 128) VMEM
+        # out buffer): value in {0, 1} when no emission, {2, 3} = 2 + bit
+        # on emission — exact small integers in f32
+        be_ref[i] = bit + 2.0 * emit_bit.astype(dt)
         btime_ref[i] = sym_t
-        emit_ref[i] = emit_bit.astype(dt)
 
         clockmod = jnp.where(emit_sym, clockmod_n, clockmod)
         evenodd = jnp.where(emit_sym,
@@ -198,7 +221,7 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
 
         return tuple(
             [new.phase, new.freq, new.locksig, new.avg_phase, new.sweep,
-             new.locked.astype(dt)] + hist + [gain] + ring_v + ring_t
+             new.locked.astype(dt)] + hist + [gain] + ring_v + ring_ts
             + [ns, half_raw, prev_bit]
             + [clockmod, evenodd, mcur, mprev, mprevprev] + tg_tail)
 
@@ -267,7 +290,9 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     hist_len = len(poly[0])
     ring = ring_size(chain_params.step_size, chain_params.gardner_err_limit,
                      interp)
-    n_state = 6 + hist_len + 1 + 2 * ring + 3 + 5 + (2 if tgen else 0)
+    ring_t = ring_t_size(chain_params.step_size,
+                         chain_params.gardner_err_limit, interp)
+    n_state = 6 + hist_len + 1 + ring + ring_t + 3 + 5 + (2 if tgen else 0)
 
     agc_params = (chain_params.agc_attack, chain_params.agc_decay,
                   1.0, 5000.0, 10e-5, chain_params.squelch_threshold or 0.0)
@@ -279,7 +304,7 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
         jnp.stack([pll_state.phase, pll_state.freq, pll_state.locksig,
                    pll_state.avg_phase, pll_state.sweep,
                    pll_state.locked.astype(dt)]),
-        jnp.zeros((hist_len + 1 + 2 * ring + 3 + 5, B), dt)
+        jnp.zeros((hist_len + 1 + ring + ring_t + 3 + 5, B), dt)
         .at[hist_len].set(agc_gain.astype(dt)),
     ]
     if tgen:
@@ -296,15 +321,14 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
         in_specs.append(spec_w)
     operands.append(st_in)
     in_specs.append(spec_s)
-    bits, btimes, emit, st_out = pl.pallas_call(
+    be, btimes, st_out = pl.pallas_call(
         functools.partial(_kernel, chain_params, agc_params, poly, interp,
                           window, chain_params.squelch_position, ring,
-                          unroll, float(ts) if tgen else None),
+                          ring_t, unroll, float(ts) if tgen else None),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[spec_w, spec_w, spec_w, spec_s],
+        out_specs=[spec_w, spec_w, spec_s],
         out_shape=[
-            jax.ShapeDtypeStruct((L, S, LANES), dt),
             jax.ShapeDtypeStruct((L, S, LANES), dt),
             jax.ShapeDtypeStruct((L, S, LANES), dt),
             jax.ShapeDtypeStruct((n_state, S, LANES), dt),
@@ -318,5 +342,7 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
 
     so = st_out.reshape(n_state, B)
     avg_phase = so[3]
-    return (from_tiles(bits), from_tiles(btimes),
-            from_tiles(emit) > 0.5, avg_phase)
+    be = from_tiles(be)
+    emit = be > 1.5               # merged plane: 2 + bit on emission
+    bits = be - 2.0 * emit.astype(dt)
+    return (bits, from_tiles(btimes), emit, avg_phase)
