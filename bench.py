@@ -109,11 +109,11 @@ def run_bench(batch_blocks: int, iters: int):
     B = int(os.environ.get("PDT_BENCH_B", batch_blocks))
     # default to the best tuned TPU config (tune_results.json): the fused
     # Pallas kernel needs B % 128 == 0 or demod_blocks silently falls back
-    # to the XLA scan path.  Round-4 champion: B=2048 (16 sublanes),
-    # window 160, body unroll 16 -> 1436 Msps; the r3 config (B=1024,
-    # window 256, U=32) stays the fallback ladder rung.  At S=16 the
-    # kernel's default U=32 exceeds the VMEM stack, so the unroll must
-    # shrink with the sublane count.
+    # to the XLA scan path.  Round-5 champion after the VMEM diet
+    # (shallow time ring + merged bit/emit plane): B=2048 (16 sublanes),
+    # window 160, body unroll 32 -> 1452 Msps (U=32 fits at S=16 now;
+    # it exceeded the VMEM stack before the diet).  The r3 config
+    # (B=1024, window 256, U=32) stays the fallback ladder rung.
     up = os.environ.get("PDT_BENCH_PALLAS", "fused" if B % 128 == 0 else "0")
     use_pallas = {"0": False, "1": "front", "front": "front",
                   "fused": "fused"}.get(up, False)
@@ -121,7 +121,7 @@ def run_bench(batch_blocks: int, iters: int):
         "PDT_BENCH_WINDOW",
         (160 if B >= 2048 else 256) if use_pallas == "fused" else 4096))
     unroll = int(os.environ.get("PDT_FUSED_UNROLL", "0")) or \
-        (16 if B >= 2048 else 0)
+        (32 if B >= 2048 else 0)
 
     rr, ii, tt, fs = _stage_inputs(plan, B, dt)
     brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
@@ -294,8 +294,14 @@ def run_argos(iters: int = 3):
     ring sized 26 from step 40 (fused_kernel.ring_size), squelch after AGC.
     Measured over a synthesized multi-packet recording (the repo's shipped
     reference clip decodes 0 packets even in the C app); frames decoded
-    asserts the kernel is doing real work.  Env: PDT_BENCH_ARGOS_B,
-    PDT_BENCH_ARGOS_CORE."""
+    asserts the kernel is doing real work.
+
+    Round 5: the VMEM diet (shallow time ring) unlocked the 16-sublane
+    rung for this geometry — B=2048, window 160, U=16, in-kernel time
+    generation (1459 Msps measured vs 1278 at the old B=1024 ceiling);
+    int16 block staging halves the tunnel upload for the one-time stage.
+    Env: PDT_BENCH_ARGOS_B, PDT_BENCH_ARGOS_CORE, PDT_BENCH_ARGOS_WINDOW.
+    """
     import jax
     import jax.numpy as jnp
     from project_desert_tortoise_tpu import chain as chain_lib
@@ -310,7 +316,7 @@ def run_argos(iters: int = 3):
         mode, fs, quirks=False)
     core = int(os.environ.get("PDT_BENCH_ARGOS_CORE", 225280))
     plan = BL.BlockPlan(core=core, head=12288, tail=8192, max_frames=64)
-    B = int(os.environ.get("PDT_BENCH_ARGOS_B", 1024))
+    B = int(os.environ.get("PDT_BENCH_ARGOS_B", 2048))
     # same sublane-dependent geometry limits as the POES kernel (VMEM)
     window = int(os.environ.get("PDT_BENCH_ARGOS_WINDOW",
                                 160 if B >= 2048 else 256))
@@ -322,17 +328,25 @@ def run_argos(iters: int = 3):
     reps = int(np.ceil((B * plan.core + plan.total) / len(re)))
     rr, ii = np.tile(re, reps), np.tile(im, reps)
     tt = W.time_axis(len(rr) + 1, fs, dt)
-    brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt,
-                                           shift=params.interp > 1)
-    jre, jim, jtn = jnp.asarray(brs), jnp.asarray(bis), jnp.asarray(tn)
+    r16 = np.round(rr * 32768.0).astype(np.int16)
+    i16 = np.round(ii * 32768.0).astype(np.int16)
+    brs, bis, _, _ = BL.stage_blocks(r16, i16, tt, plan, 0, B, np.int16,
+                                     shift=params.interp > 1)
+    # in-kernel time generation (interp=1 -> seed at t[i], no shift)
+    lo = np.arange(B) * plan.core - plan.head
+    pad0 = np.maximum(-lo, 0)
+    seeds = jnp.asarray(tt[np.clip(lo + pad0, 0, len(tt) - 1)].astype(dt))
+    jpad0 = jnp.asarray(pad0.astype(dt))
+    jre, jim = jnp.asarray(brs), jnp.asarray(bis)
     line_spacing = fs * params.interp / params.step_size  # = baud = 800
     jfest = jax.jit(BL.coarse_carrier_est, static_argnums=(2, 3))
     fest = jfest(jre, jim, float(fs), float(line_spacing))
     _ = np.asarray(fest)
 
     def call():
-        out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                              fest, 17.58, window, "fused", unroll)
+        out = BL.demod_blocks(params, plan.total, jre, jim, float(fs),
+                              None, fest, 17.58, window, "fused", unroll,
+                              seeds, jpad0)
         return np.asarray(out[2])
 
     nb = call()
@@ -344,8 +358,9 @@ def run_argos(iters: int = 3):
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
 
-    out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), jtn,
-                          fest, 17.58, window, "fused", unroll)
+    out = BL.demod_blocks(params, plan.total, jre, jim, float(fs), None,
+                          fest, 17.58, window, "fused", unroll, seeds,
+                          jpad0)
     fb = BL.extract_frames(mode.framer, plan.max_frames, *out[:3])
     return {"argos_msps": B * plan.core / med / 1e6,
             "argos_step_ms": med * 1e3,

@@ -47,7 +47,9 @@ class ChainParams(NamedTuple):
     baud: float
     gardner_err_limit: float
     gardner_gain: float
-    clock_algorithm: str              # "gardner" | "mm"
+    clock_algorithm: str              # "gardner" | "mm" | "upsampling_*"
+    upsample_level: int               # upsampling_* variants only
+    upsample_kind: str
     resync_threshold: float
     quirks: bool
 
@@ -63,6 +65,11 @@ class ChainState(NamedTuple):
 
 
 def make_params(mode_cfg, fs: float, quirks: bool = True) -> ChainParams:
+    if mode_cfg.gardner.algorithm.startswith("upsampling") and quirks:
+        raise ValueError(
+            "the MATLAB upsampling clock-recovery variants are whole-"
+            "stream formulations with no C chunk-quirk counterpart; use "
+            "quirks=False (the chunk-invariant mode)")
     dtype = mode_cfg.np_dtype()
     interp = mode_cfg.fir.interp_factor(fs)
     order = mode_cfg.fir.order(fs)
@@ -85,6 +92,8 @@ def make_params(mode_cfg, fs: float, quirks: bool = True) -> ChainParams:
         gardner_err_limit=mode_cfg.gardner.error_limit,
         gardner_gain=mode_cfg.gardner.gain,
         clock_algorithm=mode_cfg.gardner.algorithm,
+        upsample_level=mode_cfg.gardner.upsample_level,
+        upsample_kind=mode_cfg.gardner.upsample_kind,
         resync_threshold=mode_cfg.manchester.resync_threshold,
         quirks=quirks,
     )
@@ -107,7 +116,9 @@ def init_state(params: ChainParams, initial_gain: float, chunk_cap: int,
         pll=pll_ops.init_state(params.pll, dt, batch_shape),
         fir_hist=jnp.zeros(batch_shape + (hist_len,), dt),
         agc=agc_ops.agc_init(initial_gain, dt, batch_shape),
-        gardner=clock_ops.gardner_init(dt, batch_shape),
+        gardner=(clock_ops.upsampling_init(dt, batch_shape)
+                 if params.clock_algorithm.startswith("upsampling")
+                 else clock_ops.gardner_init(dt, batch_shape)),
         manchester=man_ops.manchester_init(dt, batch_shape),
         x_img=jnp.zeros(batch_shape + (cap_i,), dt),
         t_img=jnp.zeros(batch_shape + (cap_i,), dt),
@@ -196,17 +207,74 @@ def chunk_step(params: ChainParams, state: ChainState, iq_re, iq_im,
         m = TAIL_MARGIN
         x_ext = jnp.concatenate([state.x_img[..., -m:], y], axis=-1)
         t_ext2 = jnp.concatenate([state.t_img[..., -m:], t_out], axis=-1)
-        g_in = state.gardner._replace(
-            next_sample=state.gardner.next_sample + m,
-            half_raw=state.gardner.half_raw + m)
         msyms = max_symbols(cap_i, params.step_size)
-        gardner_state, syms, sym_times, sym_valid, sym_count = _timing(
-            params, g_in, x_ext, t_ext2, m + n_i, msyms)
-        if params.clock_algorithm == "gardner":
-            # gardner_scan subtracted (m + n_i) from next_sample; bring
-            # half_raw into the same next-chunk-relative coordinates
-            gardner_state = gardner_state._replace(
-                half_raw=gardner_state.half_raw - (m + n_i))
+        alg = params.clock_algorithm
+        if alg.startswith("upsampling"):
+            # MATLAB value-interpolating variants
+            # (UpsamplingGardenerClockRecovery2.m:7-10, 60-95 /
+            # UpsamplingMMClockRecovery.m): upsample the post-AGC stream
+            # L x with a smooth kernel, rebuild a uniform time axis, run
+            # the TED on the dense stream.  Pointers are split
+            # (int, frac) pairs in upsampled units (clock.py upsampling
+            # scans) so the per-chunk re-basing below is exact and the
+            # chunked protocol is bit-exact chunk-size invariant.
+            from project_desert_tortoise_tpu.ops import resample
+            L = params.upsample_level
+            x_up = resample.upsample(x_ext, L, params.upsample_kind)
+            ts_i = float(np.float64(1.0) / params.fs_interp)
+            t_up = resample.uniform_times(t_ext2, L, ts_i / L)
+            step_u = params.step_size * L
+            # emission stops EDGE input samples short of the chunk end:
+            # the cubic kernel reads one future input sample, and the
+            # carried margin (m >= EDGE + kernel tail) re-presents these
+            # positions with full context next chunk -> whole-stream
+            # values (test_upsampling_clock)
+            EDGE = 2
+            n_lim = (m + n_i - EDGE) * L
+
+            def _shift(p2, delta):   # exact integer-part shift
+                return p2.at[..., 0].add(jnp.asarray(delta, dt))
+
+            g0 = state.gardner
+            if alg == "upsampling_gardner":
+                g_in = clock_ops.GardnerState(
+                    next_sample=_shift(g0.next_sample, m * L),
+                    half_raw=_shift(g0.half_raw, m * L),
+                    prev_bit=g0.prev_bit)
+                g_out, syms, sym_times, sym_valid, sym_count = \
+                    clock_ops.upsampling_gardner_scan(
+                        g_in, x_up, t_up, n_lim, step_u,
+                        params.gardner_err_limit, params.gardner_gain,
+                        msyms)
+                gardner_state = clock_ops.GardnerState(
+                    next_sample=_shift(g_out.next_sample, -(m + n_i) * L),
+                    half_raw=_shift(g_out.half_raw, -(m + n_i) * L),
+                    prev_bit=g_out.prev_bit)
+            else:   # upsampling_mm: fixed step + sign-law nudge
+                st, syms, sym_times, sym_valid, sym_count = \
+                    clock_ops.upsampling_mm_scan(
+                        (_shift(g0.next_sample, m * L), g0.prev_bit),
+                        x_up, t_up, n_lim, step_u,
+                        params.gardner_err_limit, params.gardner_gain,
+                        msyms)
+                gardner_state = clock_ops.GardnerState(
+                    next_sample=_shift(st[0], -(m + n_i) * L),
+                    half_raw=g0.half_raw, prev_bit=st[1])
+        else:
+            g_in = state.gardner._replace(
+                next_sample=state.gardner.next_sample + m,
+                # for "mm" the half_raw slot carries the adaptive step
+                # size, not a pointer — no margin offset there
+                half_raw=state.gardner.half_raw
+                + (m if alg == "gardner" else 0))
+            gardner_state, syms, sym_times, sym_valid, sym_count = _timing(
+                params, g_in, x_ext, t_ext2, m + n_i, msyms)
+            if alg == "gardner":
+                # gardner_scan subtracted (m + n_i) from next_sample;
+                # bring half_raw into the same next-chunk-relative
+                # coordinates
+                gardner_state = gardner_state._replace(
+                    half_raw=gardner_state.half_raw - (m + n_i))
         x_img = x_ext
         t_img = t_ext2
 

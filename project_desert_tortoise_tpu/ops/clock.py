@@ -42,6 +42,13 @@ def gardner_init(dtype=jnp.float32, batch_shape=()) -> GardnerState:
     return GardnerState(next_sample=z, half_raw=z, prev_bit=z)
 
 
+def upsampling_init(dtype=jnp.float32, batch_shape=()) -> GardnerState:
+    """State for the upsampling_* scans: split (int, frac) pointers."""
+    z2 = jnp.zeros(batch_shape + (2,), jnp.dtype(dtype))
+    return GardnerState(next_sample=z2, half_raw=z2,
+                        prev_bit=jnp.zeros(batch_shape, jnp.dtype(dtype)))
+
+
 def gardner_step_size(fs: float, baud: float, dtype=np.float32):
     """stepSize = Fs/baud computed in double then stored in stream dtype,
     as the C mixed-precision expression does (GardenerClockRecovery.c:19)."""
@@ -254,3 +261,123 @@ def gardner_manchester_windowed(g_state, m_state, x, t, n, step_size: float,
         return a
     g_state = g_state._replace(next_sample=g_state.next_sample - n.astype(dt))
     return g_state, m_state, flat(bits), flat(btimes), flat(emit)
+
+
+def _split_norm(i, f):
+    """Renormalize a split pointer so the fraction lies in [0, 1)."""
+    k = jnp.floor(f)
+    return i + k, f - k
+
+
+def upsampling_gardner_scan(state: GardnerState, x, t, n, step_size: float,
+                            err_limit: float, kp: float, max_syms: int,
+                            unroll: int = 4):
+    """Gardner TED on a value-upsampled stream with a SPLIT pointer
+    (``UpsamplingGardenerClockRecovery2.m:60-95`` made chunkable).
+
+    The MATLAB original is a whole-file loop whose fractional pointer
+    accumulates at stream-absolute magnitude; re-basing such a float
+    pointer per chunk changes which magnitudes its arithmetic rounds at
+    and the recurrence drifts between chunk sizes (observed even in
+    f64).  Here positions are (integer-part, fraction in [0,1)) pairs:
+    every update renormalizes through the exact small-magnitude
+    fraction, so pointer math is magnitude-independent and the chunked
+    protocol is bit-exact chunk-size invariant (chain.chunk_step).
+
+    state: GardnerState with next_sample/half_raw shaped (..., 2) =
+    [int part (exact float), fraction); prev_bit as usual.  The caller
+    handles chunk-roll by subtracting integers from the int parts.
+    Returns (state, syms, times, valid, count); round-half-up at reads.
+    """
+    dt = x.dtype
+    cap = x.shape[-1]
+    c = lambda v: jnp.asarray(v, dt)
+    n = jnp.asarray(n)
+    si = float(np.floor(step_size))
+    sf = float(step_size - np.floor(step_size))
+    hs = step_size / 2.0
+    hsi = float(np.floor(hs))
+    hsf = float(hs - np.floor(hs))
+
+    def take(arr, i):
+        return jnp.take_along_axis(arr, i[..., None], axis=-1)[..., 0]
+
+    def step(carry, _):
+        st, count = carry
+        ni, nf = st.next_sample[..., 0], st.next_sample[..., 1]
+        hi_, hf_ = st.half_raw[..., 0], st.half_raw[..., 1]
+        idx = ni + (nf >= 0.5).astype(dt)
+        active = idx < n
+        ii = jnp.clip(idx.astype(jnp.int32), 0, cap - 1)
+        cur = take(x, ii)
+        tval = take(t, ii)
+        hidx = hi_ + (hf_ >= 0.5).astype(dt)
+        in_img = (hidx >= 0) & (hidx < cap)
+        hval = jnp.where(in_img,
+                         take(x, jnp.clip(hidx.astype(jnp.int32), 0,
+                                          cap - 1)),
+                         jnp.zeros((), dt))
+
+        err = jnp.clip(c(kp) * (cur - st.prev_bit) * hval,
+                       c(-err_limit), c(err_limit))
+        ai, af = _split_norm(ni, nf - err)          # nextSample -= Error
+        nhi, nhf = _split_norm(ai + c(hsi), af + c(hsf))   # + step/2
+        nni, nnf = _split_norm(ai + c(si), af + c(sf))     # + step
+        new = GardnerState(
+            next_sample=jnp.stack(
+                [jnp.where(active, nni, ni), jnp.where(active, nnf, nf)],
+                axis=-1),
+            half_raw=jnp.stack(
+                [jnp.where(active, nhi, hi_), jnp.where(active, nhf, hf_)],
+                axis=-1),
+            prev_bit=jnp.where(active, cur, st.prev_bit),
+        )
+        return (new, count + active.astype(jnp.int32)), (cur, tval, active)
+
+    count0 = jnp.zeros(x.shape[:-1], jnp.int32)
+    (state, count), (syms, times, valid) = jax.lax.scan(
+        step, (state, count0), None, length=max_syms, unroll=unroll)
+    return (state, jnp.moveaxis(syms, 0, -1), jnp.moveaxis(times, 0, -1),
+            jnp.moveaxis(valid, 0, -1), count)
+
+
+def upsampling_mm_scan(state, x, t, n, step_size: float, err_limit: float,
+                       kp: float, max_syms: int, unroll: int = 4):
+    """M&M TED on a value-upsampled stream, split pointer
+    (``UpsamplingMMClockRecovery.m``).  Unlike ``common/MMClockRecovery.c``
+    the MATLAB upsampling variant keeps the step FIXED (its
+    "Updates Step Size" line is commented out) and nudges the pointer by
+    the clipped sign-law error: ``nextSample += Error; nextSample +=
+    stepSize``.  state: (next_sample (..., 2) split, prev_bit)."""
+    dt = x.dtype
+    cap = x.shape[-1]
+    c = lambda v: jnp.asarray(v, dt)
+    n = jnp.asarray(n)
+    si = float(np.floor(step_size))
+    sf = float(step_size - np.floor(step_size))
+
+    def take(arr, i):
+        return jnp.take_along_axis(arr, i[..., None], axis=-1)[..., 0]
+
+    def step(carry, _):
+        (ns2, prev), count = carry
+        ni, nf = ns2[..., 0], ns2[..., 1]
+        idx = ni + (nf >= 0.5).astype(dt)
+        active = idx < n
+        ii = jnp.clip(idx.astype(jnp.int32), 0, cap - 1)
+        cur = take(x, ii)
+        tval = take(t, ii)
+        err = jnp.clip(c(kp) * (sign(prev) * cur - sign(cur) * prev),
+                       c(-err_limit), c(err_limit))
+        ai, af = _split_norm(ni, nf + err)          # nextSample += Error
+        nni, nnf = _split_norm(ai + c(si), af + c(sf))     # + step
+        ns2n = jnp.stack([jnp.where(active, nni, ni),
+                          jnp.where(active, nnf, nf)], axis=-1)
+        return ((ns2n, jnp.where(active, cur, prev)),
+                count + active.astype(jnp.int32)), (cur, tval, active)
+
+    count0 = jnp.zeros(x.shape[:-1], jnp.int32)
+    (st, count), (syms, times, valid) = jax.lax.scan(
+        step, (state, count0), None, length=max_syms, unroll=unroll)
+    return (st, jnp.moveaxis(syms, 0, -1), jnp.moveaxis(times, 0, -1),
+            jnp.moveaxis(valid, 0, -1), count)

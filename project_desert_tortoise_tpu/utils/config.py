@@ -76,8 +76,17 @@ class GardnerConfig:
     error_limit: float    # TED output clamp (Gardner) / step range (M&M)
     gain: float           # TED proportional gain kp
     # "gardner" (the reference apps' choice — "gardner works better!",
-    # POESTIPdemod/main.c:23) or "mm" (Mueller & Muller, kept selectable)
+    # POESTIPdemod/main.c:23), "mm" (Mueller & Muller, kept selectable),
+    # or the MATLAB value-interpolating variants
+    # "upsampling_gardner" / "upsampling_mm"
+    # (standalone_matlab/Functionized/UpsamplingGardenerClockRecovery2.m,
+    # UpsamplingMMClockRecovery*.m): the post-AGC stream is upsampled
+    # upsample_level x with a smooth kernel before timing recovery.
+    # Exact (scan) path with quirks=False only; error_limit/gain then act
+    # in upsampled-sample units, the MATLAB stepSpread/kp convention.
     algorithm: str = "gardner"
+    upsample_level: int = 4
+    upsample_kind: str = "cubic"     # "cubic" (Catmull-Rom) | "linear"
 
 
 @dataclasses.dataclass(frozen=True)
