@@ -57,13 +57,29 @@ class DemodSession:
                  norm_factor: Optional[float] = None, quirks: bool = True,
                  reacquire_after_s: Optional[float] = None,
                  reacquire_quality_db: float = -20.0,
-                 annotate_quality: bool = False):
+                 annotate_quality: bool = False,
+                 timebase: str = "accumulated"):
         self.cfg = mode_cfg
         self.fs = float(fs)
         self.chunk_size = int(chunk_size or mode_cfg.chunk_size)
         self.dtype = mode_cfg.np_dtype()
         self.params = chain_lib.make_params(mode_cfg, self.fs, quirks=quirks)
         self.norm_factor = norm_factor
+        # timebase="integer" (quirks=False only): an int64 global sample
+        # counter replaces the reference's accumulated stream-dtype fold
+        # (wave.c:167), whose f32 ulp exceeds Ts/2 past t ~ 4096 s at
+        # 50 ksps and quantizes multi-hour timestamps.  The chain sees a
+        # small per-chunk f32 OFFSET axis (exact to ~3e-8 s); the f64
+        # base n*Ts is added at emission, so timestamps stay exact at any
+        # stream age (VERDICT r4 item 8; test_long_soak integer rows).
+        if timebase not in ("accumulated", "integer"):
+            raise ValueError(f"unknown timebase {timebase!r}")
+        if timebase == "integer" and quirks:
+            raise ValueError("timebase='integer' requires quirks=False "
+                             "(the accumulated fold IS a reference quirk)")
+        self.timebase = timebase
+        self._n0 = 0                  # int64 global sample counter
+        self._ts64 = 1.0 / np.float64(fs)
         self.state = None           # created on first chunk (needs norm)
         self.framer = StreamFramer(mode_cfg.framer)
         self.total_samples = 0
@@ -93,19 +109,41 @@ class DemodSession:
 
     def process(self, iq: np.ndarray, t: np.ndarray,
                 t_next: np.ndarray) -> List[Frame]:
-        """Feed one chunk (<= chunk_size samples). Returns frames completed."""
+        """Feed one chunk (<= chunk_size samples). Returns frames completed.
+
+        With timebase="integer" the passed t/t_next are ignored — the
+        session synthesizes its own exact offset axis."""
         self._ensure_state(iq)
         re = np.ascontiguousarray(np.real(iq), self.dtype)
         im = np.ascontiguousarray(np.imag(iq), self.dtype)
+        n = len(re)
+        base_s = 0.0
+        if self.timebase == "integer":
+            # offset axis: time of local sample i is (i+1)*Ts relative to
+            # the chunk base n0*Ts (the reference convention t[0] = Ts)
+            off = (np.arange(1, n + 2, dtype=np.float64)
+                   * self._ts64).astype(self.dtype)
+            t, t_next = off[:n], off[1:]
+            base_s = float(self._n0 * self._ts64)
         self.state, out = chain_lib.chunk_step(
             self.params, self.state, jnp.asarray(re), jnp.asarray(im),
             jnp.asarray(t), jnp.asarray(t_next))
+        if self.timebase == "integer":
+            # rebase the carried time image for the next chunk's origin;
+            # the shift is within 2x of the carried offsets, so the f32
+            # subtraction is exact (Sterbenz) and margin-emitted bit
+            # times stay consistent to <= one f32 ulp of the chunk span
+            shift = self.dtype.type(np.float64(n) * self._ts64)
+            self.state = self.state._replace(t_img=self.state.t_img - shift)
+            self._n0 += n
 
         bits = np.asarray(out.bits)
         mask = np.asarray(out.bit_mask)
         btimes = np.asarray(out.bit_times)
         bits_c = bits[mask]
         times_c = btimes[mask]
+        if base_s:
+            times_c = base_s + times_c.astype(np.float64)
         self.total_samples += len(re)
         self.total_symbols += int(out.sym_count)
         self.total_bits += len(bits_c)
