@@ -256,6 +256,9 @@ def run_e2e(kres):
         _ = np.asarray(s[0][:1])
         _ = np.asarray(s[1][:1])
 
+    staged_mb = sum(float(np.prod(a.shape)) * a.dtype.itemsize
+                    for s in staged for a in s if a is not None) / 1e6
+
     def device_pass():
         t0 = time.perf_counter()
         pending = None
@@ -284,8 +287,13 @@ def run_e2e(kres):
                                   for w in sorted(walls_all)],
             # device-only rate (transfer excluded): what PCIe approaches
             "e2e_device_s": dev_s, "e2e_device_msps": n / dev_s / 1e6,
-            # the remainder is the container tunnel (PCIe/DMA on a TPU VM)
-            "e2e_transfer_est_s": max(0.0, wall - dev_s)}
+            # the remainder is the container tunnel (PCIe/DMA on a TPU VM);
+            # the implied MB/s makes the wall self-diagnosing against the
+            # link's observed 8-48 MB/s weather range
+            "e2e_transfer_est_s": max(0.0, wall - dev_s),
+            "e2e_staged_mb": round(staged_mb, 1),
+            "e2e_upload_mbps": round(staged_mb / max(wall - dev_s, 1e-9),
+                                     1)}
 
 
 def run_argos(iters: int = 3):
@@ -472,6 +480,8 @@ def child_main():
         line["e2e_passes"] = e2e["e2e_passes"]
         line["e2e_slices"] = e2e["e2e_slices"]
         line["e2e_pack_bits"] = e2e["e2e_pack_bits"]
+        line["e2e_staged_mb"] = e2e["e2e_staged_mb"]
+        line["e2e_upload_mbps"] = e2e["e2e_upload_mbps"]
         line["e2e_wall_iqr_s"] = e2e["e2e_wall_iqr_s"]
         line["e2e_guard_discarded"] = e2e["e2e_guard_discarded"]
         line["e2e_wall_spread_s"] = e2e["e2e_wall_spread_s"]

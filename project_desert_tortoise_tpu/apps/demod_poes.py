@@ -31,6 +31,11 @@ def build_parser(prog: str, default_mode: str) -> argparse.ArgumentParser:
                    help="block-parallel TPU path (frame-level parity)")
     p.add_argument("--no-quirks", action="store_true",
                    help="chunk-size-invariant exact mode")
+    p.add_argument("--timebase", default="accumulated",
+                   choices=["accumulated", "integer"],
+                   help="'integer' (implies --no-quirks): exact n*Ts "
+                        "timestamps from an int64 sample counter instead "
+                        "of the reference's drifting f32 accumulated fold")
     p.add_argument("--mode", default=default_mode)
     p.add_argument("--products", default=None, metavar="DIR",
                    help="also run the telemetry explorer on the decoded "
@@ -88,7 +93,9 @@ def run(argv=None, default_mode="poes_tip", prefix="minorFrames"):
 
     sess = DemodSession(mode, fs, chunk_size=args.chunk_size or None,
                         norm_factor=args.norm_factor or None,
-                        quirks=not args.no_quirks)
+                        quirks=(not args.no_quirks
+                                and args.timebase != "integer"),
+                        timebase=args.timebase)
     raw_f = open("output.raw", "wb") if args.raw_taps else None
     sess.raw_tap = raw_f
     if sess.norm_factor is None and len(iq):

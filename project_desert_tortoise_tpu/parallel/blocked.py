@@ -56,6 +56,30 @@ from project_desert_tortoise_tpu.ops.framer import Frame
 # use site in demod_blocks for why this is a constant, not a live env read)
 _ENV_UNROLL = int(os.environ.get("PDT_FUSED_UNROLL", "0"))
 
+# host->device upload stream count for the pipelined flat path (read once
+# at import).  A single healthy tunnel stream saturates the link and
+# concurrency is neutral (measured 46 -> 49 MB/s, 1 -> 8 streams); under
+# congestion multiple TCP streams recover share (measured 16 -> 31 MB/s
+# at 4 streams), so the default splits each staged plane across a small
+# pool.  PCIe device_put is unaffected by thread count.
+_UPLOAD_STREAMS = max(1, int(os.environ.get("PDT_UPLOAD_STREAMS", "4")))
+
+
+def _device_put_streamed(arr, k: int = 0):
+    """device_put `arr` as k concurrent contiguous parts, reassembled on
+    device with one concatenate (an HBM copy, negligible next to the
+    transfer).  Exact: the same bytes land in the same order."""
+    k = k or _UPLOAD_STREAMS
+    n = arr.shape[0]
+    if k <= 1 or n < 4 * k:
+        return jnp.asarray(arr)
+    import concurrent.futures as cf
+    bounds = [n * i // k for i in range(k + 1)]
+    parts = [arr[bounds[i]:bounds[i + 1]] for i in range(k)]
+    with cf.ThreadPoolExecutor(k) as ex:
+        devs = list(ex.map(jax.device_put, parts))
+    return jnp.concatenate(devs, axis=0)
+
 
 class BlockPlan(NamedTuple):
     core: int          # samples per block core
@@ -465,8 +489,8 @@ def demod_frames_flat_pipelined(params: chain_lib.ChainParams, framer_cfg,
         re_k, im_k, te_k, seeds_k, pad0_k, bounds_k = slice_np(k)
         out = demod_frames_flat(
             params, framer_cfg, plan, Bs, fs, window, use_pallas,
-            jnp.asarray(re_k), jnp.asarray(im_k),
-            None if te_k is None else jnp.asarray(te_k), norm_gain,
+            _device_put_streamed(re_k), _device_put_streamed(im_k),
+            None if te_k is None else _device_put_streamed(te_k), norm_gain,
             jnp.asarray(bounds_k),
             t_seed=None if seeds_k is None else jnp.asarray(seeds_k),
             t_pad0=None if pad0_k is None else jnp.asarray(pad0_k),

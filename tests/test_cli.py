@@ -119,3 +119,23 @@ def test_demod_poes_fast_cli_with_products(tmp_path, taps_dir):
                   if l.split(" ", 1)[1] not in bodies)
     assert missing <= 1
     assert (prod / "summary.txt").exists()
+
+
+def test_demod_poes_integer_timebase_cli(tmp_path):
+    """--timebase integer decodes with grid-exact timestamps."""
+    import numpy as np
+    from project_desert_tortoise_tpu.apps.demod_poes import run
+    from project_desert_tortoise_tpu.utils import synth, wav as W
+
+    iq, _ = synth.make_poes_recording(n_frames=6, fs=50000.0, snr_db=28.0)
+    wav = str(tmp_path / "in.wav")
+    W.write_iq_wav(wav, iq / (np.abs(iq).max() * 1.2), 50000)
+    out = str(tmp_path / "frames.txt")
+    rc = run([wav, "--timebase", "integer", "--out", out])
+    assert rc == 0
+    lines = [l for l in open(out) if l.strip()]
+    assert len(lines) >= 3
+    for l in lines:
+        t = float(l.split()[0].rstrip("i"))
+        frac = (t * 50000.0) % 1.0
+        assert min(frac, 1.0 - frac) < 1e-2, l
