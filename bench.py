@@ -124,9 +124,18 @@ def run_bench(batch_blocks: int, iters: int):
         (32 if B >= 2048 else 0)
 
     rr, ii, tt, fs = _stage_inputs(plan, B, dt)
-    brs, bis, tn, bounds = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)
-
-    jre, jim = jnp.asarray(brs), jnp.asarray(bis)
+    # stage int16 block planes (half the one-time tunnel upload) and
+    # convert ONCE on device, so the timed executable still consumes the
+    # same f32 arrays as a PCIe deployment would
+    r16 = np.round(rr * 32768.0).astype(np.int16)
+    i16 = np.round(ii * 32768.0).astype(np.int16)
+    brs, bis, _, bounds = BL.stage_blocks(r16, i16, tt, plan, 0, B,
+                                          np.int16)
+    conv = jax.jit(lambda a: a.astype(jnp.float32)
+                   * jnp.float32(1.0 / 32768.0))
+    jre = conv(jnp.asarray(brs))
+    jim = conv(jnp.asarray(bis))
+    del brs, bis
     jfest = jax.jit(BL.coarse_carrier_est, static_argnums=(2, 3))
     fest = jfest(jre, jim, float(fs), 8320.0)
     _ = np.asarray(fest)  # force
@@ -143,7 +152,11 @@ def run_bench(batch_blocks: int, iters: int):
         jpad0 = jnp.asarray(pad0.astype(dt))
         jtn = None
     else:
+        # non-tgen paths (PDT_BENCH_PALLAS=0/front) need the staged time
+        # plane; re-stage it f32 (the int16 block staging above
+        # deliberately skipped it — int16 would corrupt the axis)
         seeds = jpad0 = None
+        tn = BL.stage_blocks(rr, ii, tt, plan, 0, B, dt)[2]
         jtn = jnp.asarray(tn)
 
     def call():
@@ -175,7 +188,7 @@ def run_bench(batch_blocks: int, iters: int):
             "plan": plan, "params": params, "staged": (rr, ii, tt, fs)}
 
 
-def run_e2e(kres):
+def run_e2e(kres, budget_s: float = 0.0):
     """Whole-file wall clock: wav samples -> stitched frames on the host.
 
     Times everything the reference's elapsed-seconds figure covers
@@ -230,8 +243,19 @@ def run_e2e(kres):
             r16, i16, t_ext, 17.58, n_slices=n_slices, tgen=tgen, pack=pack)
         return frames, time.perf_counter() - t0
 
-    frames, _ = pass_once()         # warm/compile (not timed)
-    walls_all = [pass_once()[1] for _ in range(n_pass)]
+    t_begin = time.perf_counter()
+    frames, warm_wall = pass_once()  # warm/compile (not timed)
+    # deadline-aware pass count: 5 passes in good tunnel weather, fewer
+    # when the link is slow enough that the full protocol would blow the
+    # caller's alarm and lose the row entirely (keep >= 2, and leave
+    # ~1.5 passes of slack for the device-only phase below)
+    walls_all = []
+    for _ in range(n_pass):
+        walls_all.append(pass_once()[1])
+        if budget_s and len(walls_all) >= 2:
+            spent = time.perf_counter() - t_begin
+            if spent + 2.5 * max(walls_all[-1], warm_wall) > budget_s:
+                break
     med0 = float(np.median(walls_all))
     # warm-tunnel guard: a pass >2x from the median measured a tunnel
     # stall, not the pipeline; report how many were discarded
@@ -279,7 +303,7 @@ def run_e2e(kres):
     dev_s = float(np.median([device_pass()[1] for _ in range(3)]))
     return {"e2e_msps": n / wall / 1e6, "e2e_wall_s": wall,
             "e2e_frames": len(frames),
-            "e2e_passes": n_pass, "e2e_slices": n_slices,
+            "e2e_passes": len(walls_all), "e2e_slices": n_slices,
             "e2e_pack_bits": pack_w or 16,
             "e2e_wall_iqr_s": [round(float(q1), 3), round(float(q3), 3)],
             "e2e_guard_discarded": len(walls_all) - len(walls),
@@ -466,7 +490,7 @@ def child_main():
         return 0
     signal.alarm(e2e_alarm)
     try:
-        e2e = run_e2e(result)
+        e2e = run_e2e(result, budget_s=0.9 * e2e_alarm)
         signal.alarm(0)
         line["e2e_msps"] = round(e2e["e2e_msps"], 2)
         line["e2e_wall_s"] = round(e2e["e2e_wall_s"], 3)
