@@ -202,10 +202,12 @@ def run_e2e(kres, budget_s: float = 0.0):
         width (ops/bitpack.py; the golden clip peaks at 13 signed bits)
         and unpacked exactly on device — another 16/w off the upload
         bytes (VERDICT r4 item 1); e2e_pack_bits reports the width;
-      - every figure is the MEDIAN of >= PDT_BENCH_E2E_PASSES (default 5)
-        timed passes with the IQR reported, and passes whose wall
-        deviates >2x from the run median are discarded as tunnel weather
-        (warm-tunnel guard, VERDICT r4 item 6);
+      - every figure is the MEDIAN of >= PDT_BENCH_E2E_PASSES (default 5;
+        fewer only when the link is slow enough that more would blow the
+        caller's alarm) timed passes with the IQR reported, and passes
+        >2x slower than the run's fastest are discarded as tunnel stalls
+        (stalls only ever add wall time; warm-tunnel guard, VERDICT r4
+        item 6);
       - e2e_device_msps reports the same sliced path with all slices
         pre-staged on device — the compute-only rate a PCIe-attached host
         would approach — next to the tunnel-bound wall number."""
@@ -256,10 +258,13 @@ def run_e2e(kres, budget_s: float = 0.0):
             spent = time.perf_counter() - t_begin
             if spent + 2.5 * max(walls_all[-1], warm_wall) > budget_s:
                 break
-    med0 = float(np.median(walls_all))
-    # warm-tunnel guard: a pass >2x from the median measured a tunnel
-    # stall, not the pipeline; report how many were discarded
-    walls = [w for w in walls_all if max(w / med0, med0 / w) <= 2.0]
+    # warm-tunnel guard: link stalls only ever ADD wall time (an upload
+    # cannot finish spuriously fast), so passes are judged against the
+    # FASTEST observation — anything >2x slower measured a tunnel stall,
+    # not the pipeline.  (A median-referenced symmetric guard discarded
+    # the GOOD pass when a 2-pass run straddled a link collapse.)
+    w_min = min(walls_all)
+    walls = [w for w in walls_all if w <= 2.0 * w_min]
     wall = float(np.median(walls))
     q1, q3 = np.percentile(walls, [25, 75])
 
