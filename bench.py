@@ -327,8 +327,9 @@ def run_e2e(kres, budget_s: float = 0.0):
 
 def run_argos(iters: int = 3):
     """ARGOS-mode fused-kernel throughput (VERDICT r3 item 3): different
-    kernel geometry from POES — interp=1 (no polyphase fan-out), Gardner
-    ring sized 26 from step 40 (fused_kernel.ring_size), squelch after AGC.
+    kernel geometry from POES — interp=1 (no polyphase fan-out), step 40
+    (deep mid-bit offset, served by the capture latch since the round-5
+    diet — fused_kernel.py module docstring), squelch after AGC.
     Measured over a synthesized multi-packet recording (the repo's shipped
     reference clip decodes 0 packets even in the C app); frames decoded
     asserts the kernel is doing real work.

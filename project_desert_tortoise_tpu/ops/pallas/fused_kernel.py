@@ -4,13 +4,19 @@ Manchester in ONE pass, no intermediate HBM traffic.
 Extends chain_kernel.py with timing recovery: the `interp` outputs of each
 input sample rotate through a small VMEM ring (values + times); a lane emits
 a symbol when its fractional pointer crosses the newest produced interp index,
-reading the on-time and mid-bit samples from the ring with an unrolled
-slot-select (the per-lane dynamic index that made the XLA path gather-bound
-becomes R compare+selects on vregs).  Manchester decodes emitted symbols in
-the same step.  Since the symbol stride (Fs*interp/baud) exceeds `interp`,
-each lane emits at most one bit per input sample, so outputs are dense
-per-sample planes with emit masks — compressed downstream exactly like the
-scan path's.
+reading the on-time sample from the ring with an unrolled slot-select (the
+per-lane dynamic index that made the XLA path gather-bound becomes a few
+compare+selects on vregs).  The Gardner MID-BIT sample — ``step_size/2``
+outputs behind the on-time read in the reference
+(``GardenerClockRecovery.c:78``) — is NOT served by a deep ring: its target
+index is set at the previous emission and always lies in the future at that
+point, so a one-plane capture latch grabs the value the body step it is
+produced (round-5 diet; the ARGOS geometry previously carried 26 value
+planes for this one read).  Manchester decodes emitted symbols in the same
+step.  Since the symbol stride (Fs*interp/baud) exceeds `interp`, each lane
+emits at most one bit per input sample, so outputs are dense per-sample
+planes with emit masks — compressed downstream exactly like the scan
+path's.
 
 Output parity with the XLA op path is exact (see tests/test_pallas_fused.py).
 """
@@ -44,7 +50,12 @@ def ring_size(step_size: float, err_limit: float, interp: int) -> int:
     outputs behind the newest, plus timing-error slack.  16 covers POES
     (step ~9); ARGOS needs 26 (step 40 -> half offset 20) — with a fixed
     RING=16 the interp==1 modes silently read hval=0 and the timing loop
-    free-ran (round-3 bug fix, caught by test_blocked_argos line parity)."""
+    free-ran (round-3 bug fix, caught by test_blocked_argos line parity).
+
+    Since the round-5 capture-latch diet the FUSED kernel no longer carries
+    a ring this deep (its value ring is ``ring_t_size`` planes and the
+    mid-bit read is a one-plane latch); this sizing still governs the
+    XLA windowed variant's buffer image (ops/clock.py)."""
     need = int(np.ceil(step_size / 2.0 + err_limit)) + interp + 2
     return max(16, -(-need // 2) * 2)
 
@@ -77,8 +88,8 @@ def _ring_read(ring_planes, age):
     return acc
 
 
-def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
-            ring_t, unroll, tgen_ts, *refs):
+def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring_t,
+            n_tg, unroll, tgen_ts, *refs):
     if tgen_ts is None:
         (re_ref, im_ref, tn_ref, st_in_ref,
          be_ref, btime_ref, st_out_ref, st_scratch) = refs
@@ -91,14 +102,17 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
         tn_ref = None
     (attack, decay, reference, max_gain, min_gain, squelch_thr) = agc_params
     hist_len = len(poly[0])
-    # state plane layout
+    # state plane layout (round-5 diet: shallow value ring + mid-bit
+    # capture latch + grouped time ring + merged prev_bit/mcur plane)
     P0 = 0           # PLL: 6
     H0 = 6           # FIR history: hist_len
     G0 = H0 + hist_len            # AGC gain: 1
-    R0 = G0 + 1                   # ring values: ring
-    T0 = R0 + ring                # ring times: ring_t (shallow, see
-    GD = T0 + ring_t              #   ring_t_size) | gardner ns, half, prev: 3
-    MA = GD + 3                   # manchester clockmod, evenodd, cur, prev, prevprev: 5
+    R0 = G0 + 1                   # on-time value ring: ring_t (shallow)
+    HL = R0 + ring_t              # mid-bit capture latch: 1
+    T0 = HL + 1                   # time ring, one plane per interp group: n_tg
+    GD = T0 + n_tg                # gardner ns, half: 2 (prev merged into MA+2)
+    MA = GD + 2                   # manchester clockmod, evenodd, prev_sym
+    #                               (== gardner prev_bit), prev, prevprev: 5
 
     w = pl.program_id(0)
 
@@ -128,8 +142,9 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
 
         hist = [soft] + [s[H0 + m] for m in range(hist_len - 1)]
         gain = s[G0]
-        ring_v = [s[R0 + k] for k in range(ring)]
-        ring_ts = [s[T0 + k] for k in range(ring_t)]
+        ring_v = [s[R0 + k] for k in range(ring_t)]
+        hlatch = s[HL]
+        tgroups = [s[T0 + k] for k in range(n_tg)]
         if tgen_ts is None:
             tval_in = tn_ref[i]
             tg_tail = []
@@ -160,41 +175,59 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
                 y = jnp.where(jnp.abs(lock) < c(squelch_thr),
                               jnp.zeros_like(y), y)
             produced.append(y)
-        ring_v = produced[::-1] + ring_v[:ring - interp]
-        ring_ts = [tval_in] * interp + ring_ts[:ring_t - interp]
+        ring_v = produced[::-1] + ring_v[:ring_t - interp]
+        tgroups = [tval_in] + tgroups[:n_tg - 1]
 
         # --- Gardner: emit at most one symbol this input sample ---
-        ns, half_raw, prev_bit = s[GD], s[GD + 1], s[GD + 2]
+        ns, half_raw = s[GD], s[GD + 1]
+        prev_sym = s[MA + 2]      # == gardner prev_bit == manchester mcur:
+        #                           both latch `cur` on emission (merged)
         j_hi = j_base + interp - 1
+
+        # mid-bit capture: the half target set at the previous emission is
+        # always strictly ahead of j_hi at that point (half_new - j_hi >=
+        # step/2 - err_limit - interp > 0 for both reference geometries), so
+        # the value at round(half_raw) is latched the body step it is
+        # produced instead of being served by a step/2-deep ring; negative
+        # or never-produced targets leave the latch at its reset value 0.0,
+        # exactly the old out-of-ring read (GardenerClockRecovery.c:78-83)
+        hidx = jnp.round(half_raw).astype(jnp.int32)
+        off = hidx - j_base
+        capv = jnp.zeros_like(soft)
+        for p in range(interp):
+            capv = jnp.where(off == p, produced[p], capv)
+        hlatch = jnp.where((off >= 0) & (off < interp), capv, hlatch)
+
         target = jnp.round(ns)
         emit_sym = target <= j_hi
         tgt_i = jnp.maximum(target.astype(jnp.int32), 0)
         # the on-time read age is bounded by interp + clamped timing error
-        # (ring_t_size); only the mid-bit value read below goes deep
+        # (ring_t_size) — the ring carries only that depth
         age = jnp.clip(j_hi - tgt_i, 0, ring_t - 1)
-        cur = _ring_read(ring_v[:ring_t], age)
-        sym_t = _ring_read(ring_ts, age)
-        hidx = jnp.round(half_raw).astype(jnp.int32)
-        hage = j_hi - hidx
-        h_in_ring = (hidx >= 0) & (hage >= 0) & (hage < ring)
-        hval = jnp.where(h_in_ring,
-                         _ring_read(ring_v, jnp.clip(hage, 0, ring - 1)),
-                         jnp.zeros_like(cur))
+        cur = _ring_read(ring_v, age)
+        # time ring entries are inserted `interp` at a time with one value,
+        # so group g = age // interp holds the time; select over the
+        # n_tg = ceil(ring_t/interp) group planes
+        sym_t = tgroups[-1]
+        for k in reversed(range(n_tg - 1)):
+            sym_t = jnp.where(age < (k + 1) * interp, tgroups[k], sym_t)
+        hval = hlatch
 
-        err = jnp.clip(c(cp.gardner_gain) * (cur - prev_bit) * hval,
+        err = jnp.clip(c(cp.gardner_gain) * (cur - prev_sym) * hval,
                        c(-cp.gardner_err_limit), c(cp.gardner_err_limit))
         ns_adj = ns - err
         half_new = ns_adj + c(cp.step_size) / 2.0
         ns_new = ns_adj + c(cp.step_size)
         ns = jnp.where(emit_sym, ns_new, ns)
         half_raw = jnp.where(emit_sym, half_new, half_raw)
-        prev_bit = jnp.where(emit_sym, cur, prev_bit)
+        # a consumed mid-bit resets the latch for the new (future) target
+        hlatch = jnp.where(emit_sym, jnp.zeros_like(hlatch), hlatch)
 
         # --- Manchester on the emitted symbol ---
         clockmod, evenodd = s[MA], s[MA + 1]
-        mcur, mprev, mprevprev = s[MA + 2], s[MA + 3], s[MA + 4]
+        mprev, mprevprev = s[MA + 3], s[MA + 4]
         prevprev = mprev
-        prev = mcur
+        prev = prev_sym
         thr = c(cp.resync_threshold)
         mismatch = evenodd != clockmod
         strong = (jnp.abs(prevprev) > thr) & (jnp.abs(prev) > thr)
@@ -215,15 +248,15 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring,
         clockmod = jnp.where(emit_sym, clockmod_n, clockmod)
         evenodd = jnp.where(emit_sym,
                             jnp.remainder(evenodd + 1.0, 2.0), evenodd)
-        mcur = jnp.where(emit_sym, cur, mcur)
+        prev_sym = jnp.where(emit_sym, cur, prev_sym)
         mprev = jnp.where(emit_sym, prev, mprev)
         mprevprev = jnp.where(emit_sym, prevprev, mprevprev)
 
         return tuple(
             [new.phase, new.freq, new.locksig, new.avg_phase, new.sweep,
-             new.locked.astype(dt)] + hist + [gain] + ring_v + ring_ts
-            + [ns, half_raw, prev_bit]
-            + [clockmod, evenodd, mcur, mprev, mprevprev] + tg_tail)
+             new.locked.astype(dt)] + hist + [gain] + ring_v + [hlatch]
+            + tgroups + [ns, half_raw]
+            + [clockmod, evenodd, prev_sym, mprev, mprevprev] + tg_tail)
 
     if unroll == 1:
         final = jax.lax.fori_loop(
@@ -288,11 +321,11 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     interp = chain_params.interp
     poly = tuple(tuple(r) for r in _polyphase(chain_params.taps, interp))
     hist_len = len(poly[0])
-    ring = ring_size(chain_params.step_size, chain_params.gardner_err_limit,
-                     interp)
     ring_t = ring_t_size(chain_params.step_size,
                          chain_params.gardner_err_limit, interp)
-    n_state = 6 + hist_len + 1 + ring + ring_t + 3 + 5 + (2 if tgen else 0)
+    n_tg = -(-ring_t // interp)   # time-ring group planes (one per interp)
+    n_state = (6 + hist_len + 1 + ring_t + 1 + n_tg + 2 + 5
+               + (2 if tgen else 0))
 
     agc_params = (chain_params.agc_attack, chain_params.agc_decay,
                   1.0, 5000.0, 10e-5, chain_params.squelch_threshold or 0.0)
@@ -304,7 +337,7 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
         jnp.stack([pll_state.phase, pll_state.freq, pll_state.locksig,
                    pll_state.avg_phase, pll_state.sweep,
                    pll_state.locked.astype(dt)]),
-        jnp.zeros((hist_len + 1 + ring + ring_t + 3 + 5, B), dt)
+        jnp.zeros((hist_len + 1 + ring_t + 1 + n_tg + 2 + 5, B), dt)
         .at[hist_len].set(agc_gain.astype(dt)),
     ]
     if tgen:
@@ -323,8 +356,8 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     in_specs.append(spec_s)
     be, btimes, st_out = pl.pallas_call(
         functools.partial(_kernel, chain_params, agc_params, poly, interp,
-                          window, chain_params.squelch_position, ring,
-                          ring_t, unroll, float(ts) if tgen else None),
+                          window, chain_params.squelch_position, ring_t,
+                          n_tg, unroll, float(ts) if tgen else None),
         grid=grid,
         in_specs=in_specs,
         out_specs=[spec_w, spec_w, spec_s],

@@ -104,20 +104,21 @@ def measure(st, window, unroll, iters=3):
 
 GRID = [
     # (mode, B, core, window, unroll)
-    # POES champion + diet-widened probes at S=16
-    ("poes_tip", 2048, 225280, 160, 16),
-    ("poes_tip", 2048, 225280, 192, 16),
-    ("poes_tip", 2048, 225280, 256, 16),
+    # Post capture-latch diet (round-5b): the carry shrank 63 -> 49 planes
+    # (POES) / 96 -> 74 (ARGOS), so re-probe the windows/unrolls the old
+    # state size kept out of VMEM, plus the prior champions
     ("poes_tip", 2048, 225280, 160, 32),
+    ("poes_tip", 2048, 225280, 192, 32),
+    ("poes_tip", 2048, 225280, 256, 16),
     ("poes_tip", 2048, 225280, 256, 32),
-    ("poes_tip", 2048, 225280, 320, 16),
-    # ARGOS: the r4 champion rung (S=8) and the S=16 rung the diet targets
-    ("argos_realtime", 1024, 225280, 256, 0),
+    ("poes_tip", 2048, 225280, 320, 32),
+    ("poes_tip", 2048, 225280, 160, 64),
     ("argos_realtime", 2048, 225280, 160, 16),
-    ("argos_realtime", 2048, 225280, 128, 16),
     ("argos_realtime", 2048, 225280, 192, 16),
     ("argos_realtime", 2048, 225280, 256, 16),
     ("argos_realtime", 2048, 225280, 256, 32),
+    ("argos_realtime", 2048, 225280, 320, 16),
+    ("argos_realtime", 2048, 225280, 160, 32),
 ]
 
 
