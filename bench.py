@@ -358,7 +358,9 @@ def run_argos(iters: int = 3):
     # same sublane-dependent geometry limits as the POES kernel (VMEM)
     window = int(os.environ.get("PDT_BENCH_ARGOS_WINDOW",
                                 160 if B >= 2048 else 256))
-    unroll = 16 if B >= 2048 else 0
+    # U=32 became the champion after the capture-latch diet freed vregs
+    # (tune_results.json round-5b: 1495.4 vs 1489.1 at U=16)
+    unroll = 32 if B >= 2048 else 0
 
     iq, _ = synth.make_argos_recording(n_packets=40, fs=fs, snr_db=30.0)
     re = np.real(iq).astype(dt)
