@@ -321,6 +321,24 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     interp = chain_params.interp
     poly = tuple(tuple(r) for r in _polyphase(chain_params.taps, interp))
     hist_len = len(poly[0])
+    # capture-latch validity (module docstring): a freshly set mid-bit
+    # target must round strictly ahead of the newest produced index.  At an
+    # emission step ns >= j_hi - interp + 0.5 (else the emission would have
+    # fired a step earlier), so half_new - j_hi >= step/2 - err_limit -
+    # interp + 0.5; requiring that to exceed 0.5 (round-half-even) gives
+    # step/2 - err_limit - interp > 0.  POES: 4.55 - 0.1 - 3 = 1.45;
+    # ARGOS: 20 - 0.1 - 1 = 18.9.  Custom geometries that violate it must
+    # use the XLA scan path (the latch would miss targets the old deep
+    # ring served).
+    margin = (chain_params.step_size / 2.0
+              - chain_params.gardner_err_limit - interp)
+    if margin <= 0:
+        raise ValueError(
+            "fused kernel capture-latch invariant violated: "
+            f"step_size/2 - err_limit - interp = {margin:.3f} <= 0 "
+            f"(step_size={chain_params.step_size}, interp={interp}); this "
+            "geometry's mid-bit target can be produced before its emission "
+            "is consumed — use the XLA path (use_pallas=False)")
     ring_t = ring_t_size(chain_params.step_size,
                          chain_params.gardner_err_limit, interp)
     n_tg = -(-ring_t // interp)   # time-ring group planes (one per interp)

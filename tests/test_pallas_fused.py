@@ -137,3 +137,71 @@ def test_fused_interp1_argos_shape():
         # the timing loop silently free-ran (bits still matched on clean
         # data, times did not)
         assert np.array_equal(ta, tb)
+
+
+def test_fused_tight_geometry_latch_parity():
+    """Capture-latch stress: a geometry where the mid-bit target is only
+    ~1 body step ahead of its capture (step/2 - err_limit - interp = 0.025
+    vs POES's 1.45) must still be bit/time-exact vs the XLA path — the
+    tightest geometry the round-5 capture-latch diet admits."""
+    fs = 50000.0
+    params = chain_lib.make_params(POES_TIP, fs, quirks=False)
+    # step 6.25 at interp 3: half offset 3.125, margin 0.025
+    params = params._replace(step_size=6.25, baud=fs * 3 / 6.25)
+    B, L = 128, 1536
+    rng = np.random.default_rng(7)
+    sym = rng.choice([-1.0, 1.0], size=(B, L // 2 + 4))
+    base = np.repeat(sym, 2, axis=1)[:, :L]     # ~2 samples/symbol
+    re = jnp.asarray((base * 0.01
+                      + 0.002 * rng.standard_normal((B, L))).astype(np.float32))
+    im = jnp.asarray((0.002 * rng.standard_normal((B, L))).astype(np.float32))
+    tn = jnp.asarray(np.tile(np.arange(1, L + 1, dtype=np.float32) / fs,
+                             (B, 1)))
+    pst = P.init_state(params.pll, jnp.float32, (B,))
+    gain0 = jnp.full((B,), 17.58, jnp.float32)
+
+    from project_desert_tortoise_tpu.ops import agc as A
+    _, soft, _ = P.pll_scan(params.pll, pst, (re, im))
+    taps = np.asarray(params.taps, np.float32)
+    y = F.fir_interp(soft, taps, params.interp)
+    _, y1 = A.agc_scan(A.AGCState(gain=gain0), y, params.agc_attack,
+                       params.agc_decay)
+    t_out = F.fir_out_times(tn, params.interp)
+    g0 = C.gardner_init(jnp.float32, (B,))
+    m0 = M.manchester_init(jnp.float32, (B,))
+    _, _, bits1, bt1, em1 = C.gardner_manchester_windowed(
+        g0, m0, y1, t_out, jnp.full((B,), L * params.interp),
+        params.step_size, params.gardner_err_limit, params.gardner_gain,
+        params.resync_threshold, window=L * params.interp // 2)
+
+    bits2, bt2, em2, _ = fused_demod_pallas(
+        params, pst, gain0, (re, im), tn, window=512, interpret=True)
+
+    n_emitted = 0
+    for k in range(0, B, 11):
+        a = np.asarray(bits1[k])[np.asarray(em1[k])]
+        ta = np.asarray(bt1[k])[np.asarray(em1[k])]
+        b = np.asarray(bits2[k])[np.asarray(em2[k])]
+        tb = np.asarray(bt2[k])[np.asarray(em2[k])]
+        assert len(a) == len(b)
+        assert np.array_equal(a, b.astype(np.uint8))
+        assert np.array_equal(ta, tb)
+        n_emitted += len(b)
+    assert n_emitted > 100        # the stress actually emitted symbols
+
+
+def test_fused_rejects_latch_invariant_violation():
+    """step/2 - err_limit - interp <= 0 cannot be served by the capture
+    latch; the kernel must refuse instead of silently diverging from the
+    deep-ring semantics (use the XLA path for such geometries)."""
+    import pytest
+    fs = 50000.0
+    params = chain_lib.make_params(POES_TIP, fs, quirks=False)
+    params = params._replace(step_size=4.0, baud=fs * 3 / 4.0)
+    B, L = 128, 512
+    z = jnp.zeros((B, L), jnp.float32)
+    pst = P.init_state(params.pll, jnp.float32, (B,))
+    gain0 = jnp.full((B,), 17.58, jnp.float32)
+    with pytest.raises(ValueError, match="capture-latch"):
+        fused_demod_pallas(params, pst, gain0, (z, z), z,
+                           window=256, interpret=True)
