@@ -89,7 +89,7 @@ def _ring_read(ring_planes, age):
 
 
 def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring_t,
-            n_tg, unroll, tgen_ts, *refs):
+            n_tg, unroll, tgen_ts, in_scale, *refs):
     if tgen_ts is None:
         (re_ref, im_ref, tn_ref, st_in_ref,
          be_ref, btime_ref, st_out_ref, st_scratch) = refs
@@ -133,7 +133,11 @@ def _kernel(cp, agc_params, poly, interp, window, squelch_pos, ring_t,
         st = pll_ops.PLLState(
             phase=s[P0], freq=s[P0 + 1], locksig=s[P0 + 2],
             avg_phase=s[P0 + 3], sweep=s[P0 + 4], locked=s[P0 + 5] > 0.5)
-        new, (soft, lock) = pll_ops._step(cp.pll, st, re_ref[i], im_ref[i])
+        xre, xim = re_ref[i], im_ref[i]
+        if in_scale is not None:     # int16 PCM window: exact wave.c:117
+            xre = xre.astype(dt) * c(in_scale)
+            xim = xim.astype(dt) * c(in_scale)
+        new, (soft, lock) = pll_ops._step(cp.pll, st, xre, xim)
         if squelch_pos == "after_pll":
             # |lock|: block relock may settle at the inverted BPSK point
             # (see parallel/blocked.py squelch note)
@@ -304,6 +308,10 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     upload bytes.
     Returns (bits (B, L) float 0/1, bit_times (B, L), emit_mask (B, L) bool,
     avg_phase (B,)).  At most one bit per input sample per lane.
+
+    z may be int16 PCM planes: the kernel DMAs the half-width windows and
+    applies the exact /32768 normalization in-body (bit-identical to a
+    separate conversion pass, minus two full-plane HBM materializations).
     """
     zre, zim = z
     B, L = zre.shape
@@ -317,7 +325,13 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
         unroll //= 2              # keep any odd window size working
 
     S = B // LANES
-    dt = zre.dtype
+    in_i16 = zre.dtype == jnp.int16
+    # int16 PCM planes are consumed directly: the window DMA moves half the
+    # bytes and the exact /32768 normalization of ``common/wave.c:117``
+    # happens in-body (int16 -> f32 and the 2^-15 scale are both lossless,
+    # so this is bit-identical to converting in a separate XLA pass — which
+    # also materialized two full f32 planes in HBM first)
+    dt = jnp.float32 if in_i16 else zre.dtype
     interp = chain_params.interp
     poly = tuple(tuple(r) for r in _polyphase(chain_params.taps, interp))
     hist_len = len(poly[0])
@@ -375,7 +389,8 @@ def fused_demod_pallas(chain_params, pll_state, agc_gain, z, t_next,
     be, btimes, st_out = pl.pallas_call(
         functools.partial(_kernel, chain_params, agc_params, poly, interp,
                           window, chain_params.squelch_position, ring_t,
-                          n_tg, unroll, float(ts) if tgen else None),
+                          n_tg, unroll, float(ts) if tgen else None,
+                          1.0 / 32768.0 if in_i16 else None),
         grid=grid,
         in_specs=in_specs,
         out_specs=[spec_w, spec_w, spec_s],

@@ -198,8 +198,9 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
     the exact /32768 normalization of ``common/wave.c:117`` (bit-identical
     to float staging, half the host->device bytes).
     """
-    if blocks_re.dtype == jnp.int16:
-        s = jnp.float32(1.0 / 32768.0)
+    raw_re, raw_im = blocks_re, blocks_im    # int16 planes go to the fused
+    if blocks_re.dtype == jnp.int16:         # kernel unconverted (it scales
+        s = jnp.float32(1.0 / 32768.0)       # in-body; XLA DCEs this pass)
         blocks_re = blocks_re.astype(jnp.float32) * s
         blocks_im = blocks_im.astype(jnp.float32) * s
     dt = blocks_re.dtype
@@ -252,7 +253,7 @@ def demod_blocks(params: chain_lib.ChainParams, total: int,
             kw.update(t_seed=t_seed, t_pad0=t_pad0,
                       ts=float(np_dt.type(1.0) / np_dt.type(fs)))
         bits_f, btimes_f, emit_f, avg_phase = fused_fn(
-            params, pll_state, gain0, (blocks_re, blocks_im), t_next,
+            params, pll_state, gain0, (raw_re, raw_im), t_next,
             window=min(window, 512), **kw)
         # bit emissions are >= ~6 input samples apart (one per 2 Gardner
         # symbols), so a 4-sample chunk holds at most one -> cheap compaction

@@ -104,21 +104,16 @@ def measure(st, window, unroll, iters=3):
 
 GRID = [
     # (mode, B, core, window, unroll)
-    # Post capture-latch diet (round-5b): the carry shrank 63 -> 49 planes
-    # (POES) / 96 -> 74 (ARGOS), so re-probe the windows/unrolls the old
-    # state size kept out of VMEM, plus the prior champions
+    # Round-5c: int16 window DMA (half the input VMEM + no f32
+    # materialization pass) — champions plus the windows it may unlock
     ("poes_tip", 2048, 225280, 160, 32),
     ("poes_tip", 2048, 225280, 192, 32),
-    ("poes_tip", 2048, 225280, 256, 16),
-    ("poes_tip", 2048, 225280, 256, 32),
-    ("poes_tip", 2048, 225280, 320, 32),
-    ("poes_tip", 2048, 225280, 160, 64),
-    ("argos_realtime", 2048, 225280, 160, 16),
-    ("argos_realtime", 2048, 225280, 192, 16),
-    ("argos_realtime", 2048, 225280, 256, 16),
-    ("argos_realtime", 2048, 225280, 256, 32),
-    ("argos_realtime", 2048, 225280, 320, 16),
+    ("poes_tip", 2048, 225280, 224, 32),
+    ("poes_tip", 2048, 225280, 192, 16),
     ("argos_realtime", 2048, 225280, 160, 32),
+    ("argos_realtime", 2048, 225280, 192, 32),
+    ("argos_realtime", 2048, 225280, 224, 32),
+    ("argos_realtime", 2048, 225280, 192, 16),
 ]
 
 
