@@ -395,15 +395,16 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
     (frame-identical: the reconstructed int16 values are bit-identical).
     """
     dt = jnp.float32
-    scale = jnp.asarray(1.0 / 32768.0, dt)
     if pack_bits:
         from project_desert_tortoise_tpu.ops import bitpack
         ns = re_flat.shape[0] * bitpack.GROUP
-        re_flat = bitpack.unpack_jax(re_flat, pack_bits, ns).astype(dt) * scale
-        im_flat = bitpack.unpack_jax(im_flat, pack_bits, ns).astype(dt) * scale
-    elif re_flat.dtype == jnp.int16:
-        re_flat = re_flat.astype(dt) * scale
-        im_flat = im_flat.astype(dt) * scale
+        # unpacked values fit int16 by construction (pack_bits <= 16)
+        re_flat = bitpack.unpack_jax(re_flat, pack_bits, ns).astype(jnp.int16)
+        im_flat = bitpack.unpack_jax(im_flat, pack_bits, ns).astype(jnp.int16)
+    # int16 planes stay int16 through the device-side windowing (half the
+    # HBM copy traffic); demod_blocks / coarse_carrier_est apply the exact
+    # /32768 conversion downstream (the fused kernel consumes int16
+    # windows directly since round 5c)
     n = re_flat.shape[0]
     total, core, head = plan.total, plan.core, plan.head
     # window k of the padded stream is [k*core, k*core + total); cut all B
@@ -416,13 +417,14 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
     # by the time-generation parity test).
     npieces = -(-total // core)
     plen = (npieces - 1) * core + B * core
-    z = jnp.zeros((0 if pre_staged else head,), dt)
+    hn = 0 if pre_staged else head
 
-    def pad_to(x, start_pad):
-        usable = plen - start_pad.shape[0]
-        x = x[:usable].astype(dt)     # samples beyond the last block's
+    def pad_to(x, head_n):
+        usable = plen - head_n
+        x = x[:usable]                # samples beyond the last block's
         return jnp.concatenate(       # reach are unused
-            [start_pad, x, jnp.zeros((usable - x.shape[0],), dt)])
+            [jnp.zeros((head_n,), x.dtype), x,
+             jnp.zeros((usable - x.shape[0],), x.dtype)])
 
     def cut(p):
         strips = []
@@ -432,11 +434,11 @@ def demod_frames_flat(params: chain_lib.ChainParams, framer_cfg,
                 p[j * core:j * core + B * core].reshape(B, core)[:, :w])
         return jnp.concatenate(strips, axis=1)
 
-    brs = cut(pad_to(re_flat, z))
-    bis = cut(pad_to(im_flat, z))
+    brs = cut(pad_to(re_flat, hn))
+    bis = cut(pad_to(im_flat, hn))
     if t_ext is not None:
         off = 0 if pre_staged else (1 if params.interp > 1 else 0)
-        tns = cut(pad_to(t_ext[off:], z))
+        tns = cut(pad_to(t_ext[off:].astype(dt), hn))
     else:
         # time-generation mode: no time plane at all — the fused kernel
         # rebuilds the accumulated axis from per-block seeds (another third
