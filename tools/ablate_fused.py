@@ -5,6 +5,12 @@ Rebuilds fused_kernel._kernel with individual stages stubbed out to attribute
 the per-step cost: PLL, FIR+AGC, ring bookkeeping, Gardner+Manchester, output
 stores.  Timing is honest dispatch->fetch.
 
+NOTE: this harness models the pre-round-5b kernel body (deep mid-bit value
+ring, separate prev_bit/mcur planes, f32 window DMA); the shipped kernel
+has since moved to the capture-latch layout (fused_kernel.py docstring,
+DESIGN.md 7d).  The stage ATTRIBUTION shape is still representative; the
+absolute numbers belong to tune_results.json history.
+
     python tools/ablate_fused.py [--s 1] [--window 1024] [--steps 118784]
 """
 
