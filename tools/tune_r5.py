@@ -104,16 +104,15 @@ def measure(st, window, unroll, iters=3):
 
 GRID = [
     # (mode, B, core, window, unroll)
-    # Round-5c: int16 window DMA (half the input VMEM + no f32
-    # materialization pass) — champions plus the windows it may unlock
-    ("poes_tip", 2048, 225280, 160, 32),
-    ("poes_tip", 2048, 225280, 192, 32),
-    ("poes_tip", 2048, 225280, 224, 32),
-    ("poes_tip", 2048, 225280, 192, 16),
-    ("argos_realtime", 2048, 225280, 160, 32),
-    ("argos_realtime", 2048, 225280, 192, 32),
-    ("argos_realtime", 2048, 225280, 224, 32),
-    ("argos_realtime", 2048, 225280, 192, 16),
+    # Round-5c fine probe around the int16-DMA champions (note: window
+    # must divide plan.total = 245760 — 224/320 silently fall back)
+    ("poes_tip", 2048, 225280, 128, 32),
+    ("poes_tip", 2048, 225280, 128, 64),
+    ("poes_tip", 2048, 225280, 160, 16),
+    ("poes_tip", 2048, 225280, 192, 64),
+    ("argos_realtime", 2048, 225280, 128, 32),
+    ("argos_realtime", 2048, 225280, 160, 64),
+    ("argos_realtime", 2048, 225280, 192, 64),
 ]
 
 
