@@ -124,17 +124,17 @@ def run_bench(batch_blocks: int, iters: int):
         (32 if B >= 2048 else 0)
 
     rr, ii, tt, fs = _stage_inputs(plan, B, dt)
-    # stage int16 block planes (half the one-time tunnel upload) and
-    # convert ONCE on device, so the timed executable still consumes the
-    # same f32 arrays as a PCIe deployment would
+    # stage int16 PCM block planes (half the one-time tunnel upload) and
+    # keep them int16 on device: the round-5c fused kernel DMAs half-width
+    # windows and applies the exact /32768 of wave.c:117 in-body — the
+    # same layout a PCIe deployment of a 16-bit PCM source would stage
+    # (non-fused paths convert once on device, blocked.py)
     r16 = np.round(rr * 32768.0).astype(np.int16)
     i16 = np.round(ii * 32768.0).astype(np.int16)
     brs, bis, _, bounds = BL.stage_blocks(r16, i16, tt, plan, 0, B,
                                           np.int16)
-    conv = jax.jit(lambda a: a.astype(jnp.float32)
-                   * jnp.float32(1.0 / 32768.0))
-    jre = conv(jnp.asarray(brs))
-    jim = conv(jnp.asarray(bis))
+    jre = jnp.asarray(brs)
+    jim = jnp.asarray(bis)
     del brs, bis
     jfest = jax.jit(BL.coarse_carrier_est, static_argnums=(2, 3))
     fest = jfest(jre, jim, float(fs), 8320.0)

@@ -36,10 +36,23 @@ GRID = [
     # tools/probe_s32.py proved S=32 itself compiles (even window 512);
     # core=204800 -> L=225280 -> 3.69 GB clears the limit at a 9.1% halo
     # fraction (vs 8.3%).
-    ("poes_tip", 4096, 204800, 128, 32),
-    ("poes_tip", 4096, 204800, 160, 32),
-    ("argos_realtime", 4096, 204800, 128, 32),
-    ("argos_realtime", 4096, 204800, 160, 32),
+    # Root cause (tools/probe_fullerr.py, full remote-compile error): the
+    # kernel's scoped VMEM at S=32/w=128 is 16.70 MB vs the 16.00 MB
+    # limit — every window we tried busts it once the grid is long enough
+    # for the pipeliner to double-buffer (short-L probes passed because it
+    # doesn't).  Separately the (L, S, 128) f32 out planes cross 4 GB at
+    # the champion core.  So: S=24 rows at full core (fits at w<=160),
+    # and S=32 rows at w<=96 with core chosen so L divides the window and
+    # the out planes stay under 4 GB.  The kernel is chain-latency-bound
+    # (DESIGN.md 7d): more lanes per body step is the one bit-exact lever.
+    ("poes_tip", 3072, 225280, 160, 32),
+    ("poes_tip", 3072, 225280, 128, 32),
+    ("argos_realtime", 3072, 225280, 160, 32),
+    ("argos_realtime", 3072, 225280, 128, 32),
+    ("poes_tip", 4096, 204800, 80, 32),     # L=225280: /80=2816, 3.69 GB
+    ("poes_tip", 4096, 204800, 64, 32),     # same staging, smaller window
+    ("argos_realtime", 4096, 204800, 80, 32),
+    ("argos_realtime", 4096, 204800, 64, 32),
 ]
 
 
